@@ -1,0 +1,176 @@
+"""Device context: precomputed per-limb constant tables.
+
+The reference keeps no state at all (the modulus is a bare argument,
+reference arithmetic.py:3). A real RNS-CKKS stack on TPU wants every
+per-prime constant precomputed once on the host and laid out as stacked
+[L, ...] device arrays so all limb-batched kernels are a single fused XLA op.
+
+The context is a pytree (flax-free NamedTuples of jnp arrays) so it can be
+passed straight through `jax.jit` / `shard_map`; the static CKKSParams rides
+alongside as a hashable static argument.
+
+NTT table layout (see ops/ntt.py for the transform itself): the negacyclic
+N-point transform is evaluated as a four-step factorization N = n1 * n2 whose
+n1/n2-point DFT matrices are stored as unsigned 8-bit digit planes
+(uint8[L, 4, n, n]) feeding the MXU, with the psi twist, the inter-step
+twiddles, and the 1/N scaling folded into the tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpufhe_tpu.golden.arithmetic import mont_constants
+from gpufhe_tpu.params.params import CKKSParams
+
+R = 1 << 32
+
+
+def fourstep_split(n: int) -> tuple[int, int]:
+    """Factor n = n1 * n2 with n1 >= n2, both powers of two (n1 = n2 or 2*n2)."""
+    log = n.bit_length() - 1
+    n1 = 1 << ((log + 1) // 2)
+    return n1, n // n1
+
+
+def _digits_u8(x: np.ndarray) -> np.ndarray:
+    """uint32[..., a, b] -> uint8[..., 4, a, b] little-endian byte planes."""
+    x = np.asarray(x, dtype=np.uint32)
+    planes = [(x >> (8 * d)) & 0xFF for d in range(4)]
+    return np.stack(planes, axis=-3).astype(np.uint8)
+
+
+class NTTTables(NamedTuple):
+    """Four-step tables for one direction (fwd or inv), stacked over limbs.
+
+    The transform computes, per limb, with X viewed as an (a, b) matrix:
+        C = (WL @ X) * TW  @ WR        (all mod q)
+    followed by a transpose-reshape back to a length-n vector.
+    """
+
+    wl_digits: jnp.ndarray  # uint8[L, 4, a, a]
+    tw_mont: jnp.ndarray  # uint32[L, a, b]   twiddles, Montgomery form
+    wr_digits: jnp.ndarray  # uint8[L, 4, b, b]
+
+
+class Context(NamedTuple):
+    """All per-limb device constants for the q-chain followed by the p-chain."""
+
+    q: jnp.ndarray  # uint32[L_total]
+    qinv_neg: jnp.ndarray  # uint32[L_total]   -q^-1 mod 2^32
+    r2: jnp.ndarray  # uint32[L_total]   2^64 mod q
+    digit_mont: jnp.ndarray  # uint32[L_total, 7]  (2^(8t) * 2^32) mod q, t = 0..6
+    ntt_fwd: NTTTables
+    ntt_inv: NTTTables
+
+    @property
+    def num_total(self) -> int:
+        return self.q.shape[0]
+
+    def col(self, name: str, limbs) -> jnp.ndarray:
+        """Per-limb constant broadcast-ready against [L, N] planes."""
+        return getattr(self, name)[limbs][:, None]
+
+
+def _pow_table(base: int, n: int, q: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint32)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * base % q
+    return out
+
+
+def _to_mont_np(x: np.ndarray, q: int) -> np.ndarray:
+    return (np.asarray(x, dtype=np.uint64) * np.uint64(R % q) % np.uint64(q)).astype(
+        np.uint32
+    )
+
+
+def _limb_tables(q: int, psi: int, n: int):
+    """Host-side table build for one prime. Returns (fwd, inv) tuples of
+    (WL uint32, TW uint32 canonical, WR uint32) matrices."""
+    n1, n2 = fourstep_split(n)
+    omega = psi * psi % q
+    psi_pows = _pow_table(psi, 2 * n, q)  # psi^e for e in [0, 2n)
+
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+
+    # ---- forward: x_j -> X_k, j = j1*n2 + j2, k = k2*n1 + k1 ----
+    # WL[k1, j1] = omega_{n1}^{j1 k1} * psi^{j1 n2}   (omega_{n1} = omega^{n2})
+    om_n1 = _pow_table(pow(omega, n2, q), n1, q).astype(np.uint64)
+    wl = om_n1[(j1[None, :] * k1[:, None]) % n1]
+    wl = wl * psi_pows[(j1[None, :] * n2) % (2 * n)] % q
+    # TW[k1, j2] = omega^{j2 k1} * psi^{j2} = psi^{j2 (2 k1 + 1)}
+    tw = psi_pows[(j2[None, :] * (2 * k1[:, None] + 1)) % (2 * n)]
+    # WR[j2, k2] = omega_{n2}^{j2 k2}   (omega_{n2} = omega^{n1})
+    om_n2 = _pow_table(pow(omega, n1, q), n2, q).astype(np.uint64)
+    wr = om_n2[(j2[:, None] * k2[None, :]) % n2]
+    fwd = (wl.astype(np.uint32), tw.astype(np.uint32), wr.astype(np.uint32))
+
+    # ---- inverse: X_k -> x_j, input viewed as (n2, n1) matrix M[k2, k1] ----
+    winv = pow(omega, -1, q)
+    psinv_pows = _pow_table(pow(psi, -1, q), 2 * n, q)
+    n_inv = pow(n, -1, q)
+    # WLi[j2, k2] = omega_{n2}^{-j2 k2}
+    om_n2i = _pow_table(pow(winv, n1, q), n2, q).astype(np.uint64)
+    wli = om_n2i[(j2[:, None] * k2[None, :]) % n2]
+    # TWi[j2, k1] = omega^{-j2 k1} * psi^{-j2} = psi^{-j2 (2 k1 + 1)}
+    twi = psinv_pows[(j2[:, None] * (2 * k1[None, :] + 1)) % (2 * n)]
+    # WRi[k1, j1] = omega_{n1}^{-j1 k1} * psi^{-j1 n2} * n^-1
+    om_n1i = _pow_table(pow(winv, n2, q), n1, q).astype(np.uint64)
+    wri = om_n1i[(j1[None, :] * k1[:, None]) % n1]
+    wri = wri * psinv_pows[(j1[None, :] * n2) % (2 * n)] % q
+    wri = wri * n_inv % q
+    inv = (wli.astype(np.uint32), twi.astype(np.uint32), wri.astype(np.uint32))
+    return fwd, inv
+
+
+@functools.lru_cache(maxsize=8)
+def make_context(params: CKKSParams) -> Context:
+    """Build the full device context for a parameter set (host precompute)."""
+    primes = params.q_primes + params.p_primes
+    psis = params.psi
+    n = params.n
+
+    qs, qinvs, r2s, digit_monts = [], [], [], []
+    fwd_wl, fwd_tw, fwd_wr = [], [], []
+    inv_wl, inv_tw, inv_wr = [], [], []
+    for q, psi in zip(primes, psis):
+        qinv_neg, r2 = mont_constants(q)
+        qs.append(q)
+        qinvs.append(qinv_neg)
+        r2s.append(r2)
+        digit_monts.append([(1 << (8 * t)) * R % q for t in range(7)])
+        (wl, tw, wr), (wli, twi, wri) = _limb_tables(q, psi, n)
+        fwd_wl.append(_digits_u8(wl))
+        fwd_tw.append(_to_mont_np(tw, q))
+        fwd_wr.append(_digits_u8(wr))
+        inv_wl.append(_digits_u8(wli))
+        inv_tw.append(_to_mont_np(twi, q))
+        inv_wr.append(_digits_u8(wri))
+
+    u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
+    return Context(
+        q=u32(qs),
+        qinv_neg=u32(qinvs),
+        r2=u32(r2s),
+        digit_mont=u32(digit_monts),
+        ntt_fwd=NTTTables(
+            wl_digits=jnp.asarray(np.stack(fwd_wl)),
+            tw_mont=u32(np.stack(fwd_tw)),
+            wr_digits=jnp.asarray(np.stack(fwd_wr)),
+        ),
+        ntt_inv=NTTTables(
+            wl_digits=jnp.asarray(np.stack(inv_wl)),
+            tw_mont=u32(np.stack(inv_tw)),
+            wr_digits=jnp.asarray(np.stack(inv_wr)),
+        ),
+    )

@@ -1,0 +1,133 @@
+"""Negacyclic NTT as digit-decomposed MXU matmuls (the TPU-first design).
+
+The reference's NTT is an identity stub (reference arithmetic.py:15-19); a
+faithful "translation" would be a radix-2 butterfly network, which is the
+wrong program for a TPU: butterflies are strided lane shuffles the VPU hates,
+while the MXU is a 128x128 systolic array begging for matrices. So the
+transform is evaluated in four-step (Bailey) form, N = n1 * n2:
+
+    X[k2*n1 + k1] = sum_{j2} W_n2^{j2 k2} * TW[k1, j2] *
+                    sum_{j1} WL[k1, j1] * x[j1*n2 + j2]
+
+i.e. two batched (per-limb) modular matrix multiplies with an elementwise
+twiddle in between, plus one transpose. The n1/n2-point DFT matrices live as
+unsigned byte planes: an exact uint32 modmatmul is 16 uint8 x uint8 -> int32
+MXU matmuls (digit pairs), recombined as sum_t T_t * 2^(8t) mod q with seven
+Montgomery multiplies per element (T_t <= 4 * 255^2 * n2 < 2^31, so the int32
+accumulators never overflow for n2 <= 8192, i.e. N <= 2^26).
+
+The psi twist (negacyclic wrap), the four-step twiddles, and the 1/N inverse
+scaling are all folded into the precomputed tables (ops/context.py), so a
+forward or inverse transform is exactly: digits -> dot -> recombine ->
+mont_mul -> digits -> dot -> recombine -> transpose.
+
+Everything is plain jnp: XLA fuses the digit split / recombination into the
+matmul epilogues. Output is in natural order, bit-exact against
+gpufhe_tpu.golden.ntt.ntt_fwd / ntt_inv.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpufhe_tpu.ops.context import Context, NTTTables, fourstep_split
+from gpufhe_tpu.ops.modops import add_mod, mont_mul
+
+_BYTE = jnp.uint32(0xFF)
+
+
+def _to_digits(x: jnp.ndarray) -> jnp.ndarray:
+    """uint32[L, a, b] -> uint8[L, 4, a, b] little-endian byte planes."""
+    planes = [(x >> jnp.uint32(8 * d)) & _BYTE for d in range(4)]
+    return jnp.stack(planes, axis=1).astype(jnp.uint8)
+
+
+def _digit_dot_left(w_digits: jnp.ndarray, x_digits: jnp.ndarray) -> jnp.ndarray:
+    """S[l, e, i, d, b] = sum_j w[l, e, i, j] * x[l, d, j, b]  (int32, exact)."""
+    return jax.lax.dot_general(
+        w_digits,
+        x_digits,
+        dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _digit_dot_right(x_digits: jnp.ndarray, w_digits: jnp.ndarray) -> jnp.ndarray:
+    """S[l, d, a, e, k] = sum_j x[l, d, a, j] * w[l, e, j, k]  (int32, exact)."""
+    return jax.lax.dot_general(
+        x_digits,
+        w_digits,
+        dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _recombine(s: jnp.ndarray, digit_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
+    """Fold digit-pair partial sums back to residues in [0, q).
+
+    s: int32[L, 4, a, 4, b] with s >= 0; result[l] = sum_{e,d} s[l,e,:,d,:]
+    * 2^(8(e+d)) mod q[l], evaluated as seven Montgomery multiplies by the
+    precomputed digit_mont[l, t] = 2^(8t) * 2^32 mod q[l].
+    """
+    s = s.astype(jnp.uint32)
+    acc = None
+    for t in range(7):
+        tt = None
+        for e in range(4):
+            d = t - e
+            if 0 <= d < 4:
+                term = s[:, e, :, d, :]
+                tt = term if tt is None else tt + term  # < 2^31: plain adds
+        contrib = mont_mul(tt, digit_mont[:, t, None, None], q, qinv_neg)
+        acc = contrib if acc is None else add_mod(acc, contrib, q)
+    return acc
+
+
+def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont):
+    """Shared four-step core: (WL @ X) * TW @ WR, then transpose.
+
+    x_mat: uint32[L, a, b] canonical residues. Returns uint32[L, b, a].
+    """
+    s1 = _digit_dot_left(tables.wl_digits, _to_digits(x_mat))
+    a_mat = _recombine(s1, digit_mont, q, qinv_neg)
+    b_mat = mont_mul(a_mat, tables.tw_mont, q, qinv_neg)
+    s2 = _digit_dot_right(_to_digits(b_mat), tables.wr_digits)
+    c_mat = _recombine(s2, digit_mont, q, qinv_neg)
+    return jnp.swapaxes(c_mat, -1, -2)
+
+
+def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
+    """Forward negacyclic NTT over the last axis of uint32[..., L, N].
+
+    `limbs` selects which rows of the context's prime chain the L axis of `x`
+    corresponds to (e.g. a level-truncated ciphertext or the p-chain).
+    """
+    *lead, L, n = x.shape
+    n1, n2 = fourstep_split(n)
+    x_mat = x.reshape(*lead, L, n1, n2)
+    q = ctx.q[limbs][:, None, None]
+    qinv = ctx.qinv_neg[limbs][:, None, None]
+    dm = ctx.digit_mont[limbs]
+    tables = NTTTables(*(t[limbs] for t in ctx.ntt_fwd))
+    if lead:
+        flat = x_mat.reshape(-1, L, n1, n2)
+        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm))(flat)
+        return out.reshape(*lead, L, n)
+    return _fourstep(x_mat, tables, q, qinv, dm).reshape(L, n)
+
+
+def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
+    """Inverse negacyclic NTT over the last axis of uint32[..., L, N]."""
+    *lead, L, n = x.shape
+    n1, n2 = fourstep_split(n)
+    x_mat = x.reshape(*lead, L, n2, n1)  # input natural order k = k2*n1 + k1
+    q = ctx.q[limbs][:, None, None]
+    qinv = ctx.qinv_neg[limbs][:, None, None]
+    dm = ctx.digit_mont[limbs]
+    tables = NTTTables(*(t[limbs] for t in ctx.ntt_inv))
+    if lead:
+        flat = x_mat.reshape(-1, L, n2, n1)
+        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm))(flat)
+        return out.reshape(*lead, L, n)
+    return _fourstep(x_mat, tables, q, qinv, dm).reshape(L, n)

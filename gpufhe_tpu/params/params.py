@@ -1,0 +1,170 @@
+"""Parameter / context system for the TPU-native RNS-CKKS stack.
+
+The reference has no parameter system at all — the modulus is a bare function
+argument (reference arithmetic.py:3,7,11; SURVEY.md §5 "config system:
+absent"). Here parameters are a frozen dataclass plus a preset registry keyed
+by the five BASELINE.json:7-11 milestone configs.
+
+Word-size discipline (BASELINE.json:5 "32-bit limb planes"): every RNS prime
+is odd, NTT-friendly (q = 1 mod 2N) and < 2^31 so that
+  * one residue occupies one uint32 lane,
+  * Montgomery REDC with R = 2^32 never overflows,
+  * sums a+b < 2^32 need no carry handling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+from gpufhe_tpu.golden.ntt import find_primitive_root_2n, is_prime
+
+MAX_WORD_PRIME = (1 << 31) - 1
+
+
+def gen_ntt_primes(bits: int, two_n: int, count: int, skip: int = 0) -> list[int]:
+    """`count` distinct primes p = 1 (mod two_n) descending from 2^bits.
+
+    `skip` lets different roles (q-chain vs p-chain vs special primes) draw
+    disjoint primes from the same size class.
+    """
+    assert bits <= 31, "word-size discipline: primes must fit uint32 lanes"
+    primes: list[int] = []
+    p = ((1 << bits) - 1) // two_n * two_n + 1
+    seen = 0
+    while len(primes) < count:
+        if p < (1 << (bits - 1)):
+            raise ValueError(f"not enough {bits}-bit NTT primes for 2N={two_n}")
+        if is_prime(p):
+            if seen >= skip:
+                primes.append(p)
+            seen += 1
+        p -= two_n
+    return primes
+
+
+@dataclasses.dataclass(frozen=True)
+class CKKSParams:
+    """Static CKKS parameters. Hashable -> usable as a jit static argument."""
+
+    n: int  # ring degree (power of two); num slots = n // 2
+    q_primes: tuple[int, ...]  # ciphertext modulus chain Q = prod q_i (level L = len-1)
+    p_primes: tuple[int, ...]  # key-switch raise basis P (the "special" primes)
+    scale_bits: int  # log2 of the encoding scale Delta
+    sigma: float = 3.2  # discrete gaussian error stddev
+    hamming_weight: int = 0  # 0 -> dense uniform ternary secret
+
+    def __post_init__(self):
+        assert self.n & (self.n - 1) == 0, "ring degree must be a power of two"
+        for q in self.q_primes + self.p_primes:
+            assert q <= MAX_WORD_PRIME and q % (2 * self.n) == 1, (
+                f"prime {q} violates word-size / NTT-friendliness discipline"
+            )
+        assert len(set(self.q_primes + self.p_primes)) == len(self.q_primes) + len(
+            self.p_primes
+        ), "q/p primes must be pairwise distinct"
+
+    # -- derived quantities -------------------------------------------------
+    @property
+    def num_limbs(self) -> int:
+        return len(self.q_primes)
+
+    @property
+    def alpha(self) -> int:
+        """Number of special primes = key-switch decomposition group size."""
+        return max(len(self.p_primes), 1)
+
+    @property
+    def dnum(self) -> int:
+        """Gadget decomposition count at full level."""
+        return math.ceil(len(self.q_primes) / self.alpha)
+
+    @property
+    def scale(self) -> float:
+        return float(2**self.scale_bits)
+
+    @property
+    def slots(self) -> int:
+        return self.n // 2
+
+    @property
+    def big_q(self) -> int:
+        return math.prod(self.q_primes)
+
+    @property
+    def big_p(self) -> int:
+        return math.prod(self.p_primes)
+
+    @functools.cached_property
+    def psi(self) -> tuple[int, ...]:
+        """Primitive 2N-th roots of unity for every prime (q-chain then p-chain)."""
+        return tuple(
+            find_primitive_root_2n(q, 2 * self.n) for q in self.q_primes + self.p_primes
+        )
+
+
+# ---------------------------------------------------------------------------
+# Preset registry: one preset per BASELINE.json:7-11 milestone config, plus
+# tiny variants for fast CI on the 8-virtual-device CPU mesh.
+# ---------------------------------------------------------------------------
+
+
+def _mk(n: int, n_q: int, n_p: int, scale_bits: int, q0_bits: int = 30, qi_bits: int = 28,
+        p_bits: int = 30) -> CKKSParams:
+    two_n = 2 * n
+    q0 = gen_ntt_primes(q0_bits, two_n, 1)
+    qi = gen_ntt_primes(qi_bits, two_n, n_q - 1)
+    # p-chain primes drawn below the q0 prime from the same 30-bit class
+    pp = gen_ntt_primes(p_bits, two_n, n_p, skip=1 if p_bits == q0_bits else 0)
+    return CKKSParams(
+        n=n,
+        q_primes=tuple(q0 + qi),
+        p_primes=tuple(pp),
+        scale_bits=scale_bits,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def preset(name: str) -> CKKSParams:
+    """Named parameter presets.
+
+    BASELINE.json config mapping:
+      config1_ntt      — N=2^12 single-prime NTT (word-size TPU variant; the
+                         60-bit-prime vectors of config 1 are golden-model
+                         artifacts, see gpufhe_tpu/golden/vectors.py)
+      config2_rns      — N=2^14, L=10 RNS arithmetic + basis extension
+      config3_ckks     — N=2^15 encode/encrypt/mult/relin
+      config4_rotation — hybrid key-switching + hoisted rotations
+      config5_boot     — N=2^16, L=30 bootstrapping-scale context
+      tiny / tiny2     — fast CI contexts (CPU, seconds)
+    """
+    if name == "tiny":
+        return _mk(n=2**6, n_q=3, n_p=1, scale_bits=28)
+    if name == "tiny2":
+        return _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
+    if name == "ci_small":
+        return _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+    if name == "config1_ntt":
+        return _mk(n=2**12, n_q=1, n_p=1, scale_bits=28)
+    if name == "config2_rns":
+        return _mk(n=2**14, n_q=10, n_p=2, scale_bits=28)
+    if name == "config3_ckks":
+        return _mk(n=2**15, n_q=12, n_p=3, scale_bits=28)
+    if name == "config4_rotation":
+        return _mk(n=2**15, n_q=12, n_p=3, scale_bits=28)
+    if name == "config5_boot":
+        return _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+    raise KeyError(f"unknown preset {name!r}")
+
+
+def make_context(name_or_params):
+    """Build the full device context (precomputed tables) for params.
+
+    Defined in gpufhe_tpu.ops.context; re-exported here for the public API.
+    """
+    from gpufhe_tpu.ops.context import make_context as _mc
+
+    if isinstance(name_or_params, str):
+        name_or_params = preset(name_or_params)
+    return _mc(name_or_params)

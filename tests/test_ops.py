@@ -1,0 +1,147 @@
+"""TPU kernel layer vs golden model — element-exact (integer ==, never allclose).
+
+Runs on the CPU backend (conftest) whose uint32/uint8 semantics match TPU;
+the same assertions are exercised on the real chip by bench/smoke scripts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpufhe_tpu.golden import arithmetic as ga
+from gpufhe_tpu.golden import ntt as gn
+from gpufhe_tpu.ops import modops
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.params.params import CKKSParams, gen_ntt_primes, preset
+
+RNG = np.random.default_rng(1)
+Q = 2013265921  # < 2^31
+
+
+def _u32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.uint32))
+
+
+def test_mulhi32_exact():
+    a = RNG.integers(0, 1 << 32, size=4096, dtype=np.uint64)
+    b = RNG.integers(0, 1 << 32, size=4096, dtype=np.uint64)
+    got = np.asarray(modops.mulhi32(_u32(a), _u32(b)))
+    want = ((a.astype(object) * b.astype(object)) >> 32).astype(np.uint64)
+    assert (got.astype(np.uint64) == want).all()
+
+
+def test_add_sub_neg_mod_vs_golden():
+    a = RNG.integers(0, Q, size=4096, dtype=np.int64)
+    b = RNG.integers(0, Q, size=4096, dtype=np.int64)
+    q = jnp.uint32(Q)
+    assert (np.asarray(modops.add_mod(_u32(a), _u32(b), q)) == ga.vec_add(a, b, Q)).all()
+    assert (np.asarray(modops.sub_mod(_u32(a), _u32(b), q)) == ga.vec_sub(a, b, Q)).all()
+    assert (np.asarray(modops.neg_mod(_u32(a), q)) == ga.vec_sub(0 * a, a, Q)).all()
+
+
+def test_mont_and_mul_mod_vs_golden():
+    qinv_neg, r2 = ga.mont_constants(Q)
+    a = RNG.integers(0, 1 << 32, size=4096, dtype=np.uint64)
+    b = RNG.integers(0, Q, size=4096, dtype=np.uint64)
+    got = np.asarray(
+        modops.mont_mul(_u32(a), _u32(b), jnp.uint32(Q), jnp.uint32(qinv_neg))
+    )
+    assert (got == ga.mont_mul(a, b, Q, qinv_neg).astype(np.uint32)).all()
+    # general mul: canonical x canonical
+    a2 = RNG.integers(0, Q, size=4096, dtype=np.int64)
+    got2 = np.asarray(
+        modops.mul_mod(
+            _u32(a2), _u32(b), jnp.uint32(Q), jnp.uint32(qinv_neg), jnp.uint32(r2)
+        )
+    )
+    assert (got2 == np.asarray(ga.vec_mul(a2, b.astype(np.int64), Q), np.uint32)).all()
+
+
+def test_barrett_reduce_u32():
+    x = RNG.integers(0, 1 << 32, size=4096, dtype=np.uint64)
+    got = np.asarray(modops.barrett_reduce_u32(_u32(x), jnp.uint32(Q)))
+    assert (got.astype(np.uint64) == x % Q).all()
+
+
+@pytest.mark.parametrize("preset_name", ["tiny", "tiny2"])
+def test_mxu_ntt_matches_golden(preset_name):
+    params = preset(preset_name)
+    ctx = make_context(params)
+    primes = params.q_primes + params.p_primes
+    L, n = len(primes), params.n
+    x = np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+
+    got = np.asarray(ntt_fwd(_u32(x), ctx))
+    want = np.stack(
+        [gn.ntt_fwd(x[i], primes[i], params.psi[i]) for i in range(L)]
+    ).astype(np.uint32)
+    assert (got == want).all()
+
+    back = np.asarray(ntt_inv(jnp.asarray(got), ctx))
+    assert (back == x.astype(np.uint32)).all()
+    # inverse also matches golden inverse on arbitrary eval-domain input
+    y = np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+    got_inv = np.asarray(ntt_inv(_u32(y), ctx))
+    want_inv = np.stack(
+        [gn.ntt_inv(y[i], primes[i], params.psi[i]) for i in range(L)]
+    ).astype(np.uint32)
+    assert (got_inv == want_inv).all()
+
+
+def test_mxu_ntt_limb_subset():
+    params = preset("tiny2")
+    ctx = make_context(params)
+    n = params.n
+    sub = slice(1, 3)
+    primes = (params.q_primes + params.p_primes)[sub]
+    psis = params.psi[sub]
+    x = np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd
+
+    got = np.asarray(ntt_fwd(_u32(x), ctx, limbs=sub))
+    want = np.stack(
+        [gn.ntt_fwd(x[i], primes[i], psis[i]) for i in range(len(primes))]
+    ).astype(np.uint32)
+    assert (got == want).all()
+
+
+def test_mxu_ntt_rectangular_split():
+    # N = 2^7 -> n1=16, n2=8 (n1 != n2 path)
+    n = 128
+    q = gen_ntt_primes(28, 2 * n, 1)[0]
+    params = CKKSParams(n=n, q_primes=(q,), p_primes=(), scale_bits=20)
+    ctx = make_context(params)
+    psi = params.psi[0]
+    x = RNG.integers(0, q, size=(1, n), dtype=np.int64)
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+
+    got = np.asarray(ntt_fwd(_u32(x), ctx))
+    assert (got[0] == gn.ntt_fwd(x[0], q, psi).astype(np.uint32)).all()
+    assert (np.asarray(ntt_inv(jnp.asarray(got), ctx)) == x.astype(np.uint32)).all()
+
+
+def test_mxu_ntt_leading_batch_dims():
+    params = preset("tiny")
+    ctx = make_context(params)
+    primes = params.q_primes + params.p_primes
+    L, n = len(primes), params.n
+    x = np.stack(
+        [
+            np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+            for _ in range(3)
+        ]
+    )
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd
+
+    got = np.asarray(ntt_fwd(_u32(x), ctx))
+    for c in range(3):
+        want = np.stack(
+            [gn.ntt_fwd(x[c, i], primes[i], params.psi[i]) for i in range(L)]
+        ).astype(np.uint32)
+        assert (got[c] == want).all()
