@@ -31,8 +31,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from gpufhe_tpu.ops.context import Context, NTTTables, fourstep_split
 from gpufhe_tpu.ops.modops import add_mod, mont_mul
+
+
+def _norm_limbs(limbs):
+    """Allow python lists of limb indices (jax forbids list indexing)."""
+    return np.asarray(limbs, dtype=np.int32) if isinstance(limbs, list) else limbs
 
 _BYTE = jnp.uint32(0xFF)
 
@@ -103,6 +110,7 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     `limbs` selects which rows of the context's prime chain the L axis of `x`
     corresponds to (e.g. a level-truncated ciphertext or the p-chain).
     """
+    limbs = _norm_limbs(limbs)
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n1, n2)
@@ -119,6 +127,7 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
 
 def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     """Inverse negacyclic NTT over the last axis of uint32[..., L, N]."""
+    limbs = _norm_limbs(limbs)
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n2, n1)  # input natural order k = k2*n1 + k1

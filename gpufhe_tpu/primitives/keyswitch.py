@@ -1,0 +1,75 @@
+"""Hybrid key-switching core (device): ModUp -> inner product -> ModDown.
+
+The FHE primitive layer the reference only marks with a placeholder
+(reference primitive.py:3-4 `XXX()`; SURVEY.md §2.4 "hybrid key-switching:
+none"). Mirrors golden key_switch_core (golden/ckks.py) stage for stage so
+every intermediate limb is bit-exact:
+
+  1. iNTT the switched polynomial to coefficient domain
+  2. ModUp each of the dnum decomposition groups to the full active Q·P basis
+     (primitives/rns.py mod_up — approximate base conversion, per-term reduced)
+  3. NTT-domain MAC against the gadget key rows (keys in Montgomery form:
+     one mont_mul + add_mod per row — pure VPU, fuses into one XLA kernel)
+  4. iNTT, ModDown by P, NTT back
+
+The NTT dominates: 2*(dnum+2) transforms of K+alpha limbs. All transforms
+ride the MXU four-step path (ops/ntt.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpufhe_tpu.keys.keys import DeviceKSKey
+from gpufhe_tpu.ops.context import Context
+from gpufhe_tpu.ops.modops import add_mod, mont_mul
+from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from gpufhe_tpu.primitives.rns import KSContext, mod_down, mod_up
+from gpufhe_tpu.params.params import CKKSParams
+
+
+def qp_indices(params: CKKSParams, level: int) -> list[int]:
+    """Context-chain indices of the active Q-prefix + P-chain limbs."""
+    alpha = len(params.p_primes)
+    return list(range(level)) + list(
+        range(params.num_limbs, params.num_limbs + alpha)
+    )
+
+
+def key_switch_core(
+    d2: jnp.ndarray,
+    params: CKKSParams,
+    level: int,
+    ctx: Context,
+    ksc: KSContext,
+    ksk: DeviceKSKey,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Switch one NTT-domain poly u32[K, N] to the target key's secret.
+
+    Returns (ks0, ks1) u32[K, N] NTT domain, bit-exact vs golden
+    key_switch_core.
+    """
+    k = level
+    qp_idx = qp_indices(params, level)
+    q_idx = list(range(k))
+
+    d2_coeff = ntt_inv(d2, ctx, limbs=q_idx)
+    raised = mod_up(d2_coeff, params, level, ctx, ksc)
+
+    qp_q = ctx.q[np.asarray(qp_idx)][:, None]
+    qp_qinv = ctx.qinv_neg[np.asarray(qp_idx)][:, None]
+    acc0 = acc1 = None
+    for d, r_coeff in enumerate(raised):
+        r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
+        t0 = mont_mul(r, ksk.b_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
+        t1 = mont_mul(r, ksk.a_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
+
+    out = []
+    for acc in (acc0, acc1):
+        coeff = ntt_inv(acc, ctx, limbs=qp_idx)
+        down = mod_down(coeff, params, level, ctx, ksc)
+        out.append(ntt_fwd(down, ctx, limbs=q_idx))
+    return out[0], out[1]

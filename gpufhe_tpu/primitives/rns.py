@@ -1,0 +1,209 @@
+"""Device RNS primitives: fast basis conversion, ModUp, ModDown, rescale.
+
+The reference contains no RNS machinery at all (SURVEY.md §2.4; its only
+modulus handling is a bare `MOD` argument, reference arithmetic.py:3). This
+module is the TPU realization of the golden algorithms in
+gpufhe_tpu.golden.rns — **bit-exact**: every approximate-base-conversion term
+is reduced per-term exactly as the golden model does, so ciphertext limbs
+compare with `==` through the whole pipeline (BASELINE.json:5 limb-trace
+contract).
+
+Precomputed per-(params, level) constants live in `KSContext`, a pytree of
+uint32 device arrays built host-side once and cached. Fixed factors
+(conversion matrices, qhat inverses, P^-1, q_last^-1) are stored in
+Montgomery form so each use is a single mont_mul on the VPU.
+
+Shapes: polynomials are uint32[K, N] canonical residues; the source axis of a
+base conversion is tiny (alpha = 1-5 limbs) so the per-source-limb Python
+loop unrolls into a handful of fused VPU ops — no MXU needed here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpufhe_tpu.golden import rns as grns
+from gpufhe_tpu.ops.context import Context
+from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, sub_mod
+from gpufhe_tpu.params.params import CKKSParams
+
+R = 1 << 32
+
+
+def _mont_np(x, q) -> np.ndarray:
+    """Host: canonical -> Montgomery form (element-wise, exact)."""
+    x = np.asarray(x, dtype=np.uint64)
+    q = np.asarray(q, dtype=np.uint64)
+    return (x * (np.uint64(R) % q) % q).astype(np.uint32)
+
+
+def ks_groups(params: CKKSParams, level: int) -> list[tuple[int, int]]:
+    """(start, stop) limb ranges of the active key-switch decomposition groups."""
+    alpha = params.alpha
+    return [(d, min(d + alpha, level)) for d in range(0, level, alpha)]
+
+
+class KSContext(NamedTuple):
+    """Per-(params, level) device tables for key-switching and rescale.
+
+    All conversion factors in Montgomery form; tuple fields are per-group
+    (groups may have unequal sizes so they stay separate pytree leaves).
+    """
+
+    # ModUp (per decomposition group g with src limbs qs[d0:d1]):
+    modup_qhatinv: tuple  # u32[S_g]        [Qhat_g_i^{-1}]_{q_i}, Montgomery
+    modup_conv: tuple  # u32[T_g, S_g]   [Qhat_g_i]_{t}, Montgomery (dst rows)
+    # ModDown by P (p-basis -> active q-basis):
+    p2q_qhatinv: jnp.ndarray  # u32[alpha]
+    p2q_conv: jnp.ndarray  # u32[K, alpha]
+    pinv_mont: jnp.ndarray  # u32[K]     [P^{-1}]_{q_i}, Montgomery
+    # Rescale by q_last (level K -> K-1):
+    qlast_mod: jnp.ndarray  # u32[K-1]   q_last mod q_i (canonical)
+    qlast_inv_mont: jnp.ndarray  # u32[K-1]   [q_last^{-1}]_{q_i}, Montgomery
+
+
+@functools.lru_cache(maxsize=None)
+def make_ks_context(params: CKKSParams, level: int) -> KSContext:
+    """Host-side table build (exact python-int arithmetic)."""
+    qs = params.q_primes[:level]
+    ps = params.p_primes
+
+    modup_qhatinv, modup_conv = [], []
+    for d0, d1 in ks_groups(params, level):
+        src = qs[d0:d1]
+        dst = qs[:d0] + qs[d1:] + ps
+        modup_qhatinv.append(
+            jnp.asarray(_mont_np(grns.qhat_inv(src), np.array(src)))
+        )
+        conv = grns.conv_matrix(src, dst)  # int64[T, S]
+        modup_conv.append(
+            jnp.asarray(_mont_np(conv, np.array(dst, dtype=np.int64)[:, None]))
+        )
+
+    p2q_qhatinv = _mont_np(grns.qhat_inv(ps), np.array(ps))
+    p2q_conv = _mont_np(grns.conv_matrix(ps, qs), np.array(qs, dtype=np.int64)[:, None])
+    import math
+
+    big_p = math.prod(ps)
+    pinv = [pow(big_p, -1, q) for q in qs]
+    q_last = qs[-1]
+    qlast_mod = [q_last % q for q in qs[:-1]]
+    qlast_inv = [pow(q_last, -1, q) for q in qs[:-1]]
+
+    u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
+    return KSContext(
+        modup_qhatinv=tuple(modup_qhatinv),
+        modup_conv=tuple(modup_conv),
+        p2q_qhatinv=jnp.asarray(p2q_qhatinv),
+        p2q_conv=jnp.asarray(p2q_conv),
+        pinv_mont=jnp.asarray(_mont_np(pinv, np.array(qs))),
+        qlast_mod=u32(qlast_mod),
+        qlast_inv_mont=jnp.asarray(_mont_np(qlast_inv, np.array(qs[:-1]))),
+    )
+
+
+def base_convert(
+    x: jnp.ndarray,
+    src_q: jnp.ndarray,
+    src_qinv: jnp.ndarray,
+    qhatinv_mont: jnp.ndarray,
+    conv_mont: jnp.ndarray,
+    dst_q: jnp.ndarray,
+    dst_qinv: jnp.ndarray,
+) -> jnp.ndarray:
+    """Approximate fast base conversion, bit-exact vs golden base_convert.
+
+    x: u32[S, N] residues mod src primes -> u32[T, N] residues mod dst primes,
+    congruent to x + u * prod(src) for small |u| (golden rns.py base_convert).
+    """
+    v = mont_mul(x, qhatinv_mont[:, None], src_q[:, None], src_qinv[:, None])
+    acc = None
+    for i in range(x.shape[0]):  # S is tiny (<= alpha): unrolled VPU ops
+        term = mont_mul(
+            v[i][None, :], conv_mont[:, i, None], dst_q[:, None], dst_qinv[:, None]
+        )
+        acc = term if acc is None else add_mod(acc, term, dst_q[:, None])
+    return acc
+
+
+def mod_up(
+    x_coeff: jnp.ndarray, params: CKKSParams, level: int, ctx: Context, ksc: KSContext
+) -> list[jnp.ndarray]:
+    """ModUp every decomposition group of u32[K, N] to the full active QP basis.
+
+    Returns one u32[K + alpha, N] coefficient-domain array per group, limb
+    order = active q-chain then p-chain (mirrors golden key_switch_core's
+    `raised` assembly, golden/ckks.py key_switch_core).
+    """
+    k = level
+    alpha = len(params.p_primes)
+    qp_idx = list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+    out = []
+    for g, (d0, d1) in enumerate(ks_groups(params, level)):
+        src_idx = list(range(d0, d1))
+        dst_idx = list(range(0, d0)) + list(range(d1, k)) + qp_idx[k:]
+        conv = base_convert(
+            x_coeff[d0:d1],
+            ctx.q[np.asarray(src_idx)],
+            ctx.qinv_neg[np.asarray(src_idx)],
+            ksc.modup_qhatinv[g],
+            ksc.modup_conv[g],
+            ctx.q[np.asarray(dst_idx)],
+            ctx.qinv_neg[np.asarray(dst_idx)],
+        )
+        s = d1 - d0
+        full = jnp.concatenate(
+            [conv[:d0], x_coeff[d0:d1], conv[d0 : k - s], conv[k - s :]], axis=0
+        )
+        out.append(full)
+    return out
+
+
+def mod_down(
+    x_coeff: jnp.ndarray, params: CKKSParams, level: int, ctx: Context, ksc: KSContext
+) -> jnp.ndarray:
+    """Exact-up-to-noise division by P: u32[K+alpha, N] -> u32[K, N] (coeff dom).
+
+    Mirrors golden rns.mod_down_coeff bit-exactly.
+    """
+    k = level
+    alpha = len(params.p_primes)
+    p_idx = list(range(params.num_limbs, params.num_limbs + alpha))
+    q_b, qinv_b = ctx.q[:k][:, None], ctx.qinv_neg[:k][:, None]
+    p_part = base_convert(
+        x_coeff[k:],
+        ctx.q[np.asarray(p_idx)],
+        ctx.qinv_neg[np.asarray(p_idx)],
+        ksc.p2q_qhatinv,
+        ksc.p2q_conv,
+        ctx.q[:k],
+        ctx.qinv_neg[:k],
+    )
+    diff = sub_mod(x_coeff[:k], p_part, q_b)
+    return mont_mul(diff, ksc.pinv_mont[:, None], q_b, qinv_b)
+
+
+def rescale(
+    x_coeff: jnp.ndarray, params: CKKSParams, level: int, ctx: Context, ksc: KSContext
+) -> jnp.ndarray:
+    """Drop the last active limb: u32[K, N] -> u32[K-1, N] (coefficient domain).
+
+    (x - centered([x]_{q_last})) / q_last per remaining limb; centered lift
+    mirrors golden rns.rescale_coeff / center_reduce bit-exactly.
+    """
+    k = level
+    q_last = int(params.q_primes[k - 1])
+    last = x_coeff[k - 1]
+    q_b, qinv_b = ctx.q[: k - 1][:, None], ctx.qinv_neg[: k - 1][:, None]
+    r = barrett_reduce_u32(last[None, :], q_b)  # [x]_{q_last} mod q_i
+    lifted = jnp.where(
+        last[None, :] > jnp.uint32(q_last // 2),
+        sub_mod(r, ksc.qlast_mod[:, None], q_b),
+        r,
+    )
+    diff = sub_mod(x_coeff[: k - 1], lifted, q_b)
+    return mont_mul(diff, ksc.qlast_inv_mont[:, None], q_b, qinv_b)

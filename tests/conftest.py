@@ -5,6 +5,11 @@ the TPU-native equivalent of a fake backend — every shard_map / collective
 path executes for real on one host, and all integer kernel semantics (uint32
 wraparound, uint8 dot_general with int32 accumulation) are identical to TPU,
 so element-exact assertions transfer.
+
+Note: the environment preloads jax (PYTHONPATH sitecustomize) with
+JAX_PLATFORMS=axon (the real tunneled TPU chip), so the env var is already
+captured by the time this file runs; jax.config.update is the reliable
+override. XLA_FLAGS is still read at backend init, so setting it here works.
 """
 
 import os
@@ -13,3 +18,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
