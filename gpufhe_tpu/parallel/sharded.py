@@ -1,0 +1,477 @@
+"""Multi-chip SPMD pipeline: mesh ('limb', 'coeff'), shard_map + collectives.
+
+The reference has no distributed anything (SURVEY.md §2.3 — no NCCL/MPI, no
+device code at all); this module is the TPU-native scaling design demanded by
+BASELINE.json:5: "residue channels and polynomial coefficients partitioned
+over the mesh, NTT butterfly stages exchanged via all-to-all across ICI, and
+key-switch inner products reduced with psum collectives".
+
+Axes
+----
+* ``coeff`` — shards polynomial coefficients. At rest a polynomial limb is
+  the four-step matrix ``[n1, n2]`` (ops/ntt.py) sharded over rows; a forward
+  or inverse transform is two local MXU matmul stages joined by two
+  ``all_to_all`` transposes over ICI (the classic distributed four-step).
+  Eval-domain data lives in the ``[k1, k2]`` matrix layout (a fixed
+  permutation of natural order — pointwise ops and iNTT are layout-agnostic,
+  tests un-permute when comparing against the single-chip path).
+* ``limb`` — shards the *gadget decomposition groups* of hybrid
+  key-switching, the dominant cost of ct-mult: each limb-row of devices
+  ModUps + NTTs + MACs its own groups and the partial inner products are
+  reduced across the axis. The reduction must be **exact mod q**, so instead
+  of a raw ``psum`` (which would wrap uint32 at >=3 shards) it is an
+  all_gather followed by a modular tree add — bit-exact by construction.
+
+Everything in this module is bit-exact against the single-chip path
+(ciphertext/ct.py), which is itself bit-exact against the golden model:
+collectives only move data; every arithmetic op is the same op in the same
+order (modular adds are associative/commutative exactly, so the group-order
+of the inner-product reduction cannot change the result).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpufhe_tpu.keys.keys import DeviceKSKey
+from gpufhe_tpu.ops.context import Context, fourstep_split, make_context
+from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, mul_mod, sub_mod
+from gpufhe_tpu.ops.ntt import _digit_dot_left, _digit_dot_right, _recombine, _to_digits
+from gpufhe_tpu.params.params import CKKSParams
+from gpufhe_tpu.primitives.keyswitch import qp_indices
+from gpufhe_tpu.primitives.rns import ks_groups, make_ks_context
+
+
+def make_fhe_mesh(n_limb: int, n_coeff: int, devices=None) -> Mesh:
+    """The standard ('limb', 'coeff') device mesh."""
+    if devices is None:
+        return jax.make_mesh((n_limb, n_coeff), ("limb", "coeff"))
+    return Mesh(np.asarray(devices).reshape(n_limb, n_coeff), ("limb", "coeff"))
+
+
+# ---------------------------------------------------------------------------
+# Layout converters (host/test utilities)
+# ---------------------------------------------------------------------------
+
+
+def natural_to_eval3d(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """Natural-order eval vector [..., N] -> [k1, k2] matrix [..., n1, n2].
+
+    Natural index k = k2*n1 + k1, so the natural vector is the [k2, k1]
+    matrix flattened; the sharded layout is its transpose.
+    """
+    *lead, n = x.shape
+    return jnp.swapaxes(x.reshape(*lead, n2, n1), -1, -2)
+
+
+def eval3d_to_natural(x: jnp.ndarray) -> jnp.ndarray:
+    *lead, n1, n2 = x.shape
+    return jnp.swapaxes(x, -1, -2).reshape(*lead, n1 * n2)
+
+
+def coeff_to_3d(x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """Coefficient-order vector [..., N] -> [j1, j2] matrix (j = j1*n2 + j2)."""
+    *lead, n = x.shape
+    return x.reshape(*lead, n1, n2)
+
+
+# ---------------------------------------------------------------------------
+# Sharded NTT table bundle (one per limb subset: q-chain level, QP, level-1)
+# ---------------------------------------------------------------------------
+
+
+class ShardedNTT(NamedTuple):
+    """Per-limb-subset tables for the sharded four-step transform.
+
+    tw is sharded over its j2 axis (forward) / twi_T over its k1 axis
+    (inverse); digit matrices and per-limb constants are replicated.
+    """
+
+    wl: jnp.ndarray  # u8[L, 4, n1, n1]
+    tw: jnp.ndarray  # u32[L, n1, n2]   (sharded axis 2)
+    wr: jnp.ndarray  # u8[L, 4, n2, n2]
+    wli: jnp.ndarray  # u8[L, 4, n2, n2] (symmetric: WLi[j2,k2] = WLi[k2,j2])
+    twi_t: jnp.ndarray  # u32[L, n1, n2]   TWi transposed, (sharded axis 1)
+    wri_t: jnp.ndarray  # u8[L, 4, n1, n1] WRi transposed
+    q: jnp.ndarray  # u32[L]
+    qinv: jnp.ndarray  # u32[L]
+    dm: jnp.ndarray  # u32[L, 7]
+
+    @staticmethod
+    def spec():
+        return ShardedNTT(
+            wl=P(), tw=P(None, None, "coeff"), wr=P(),
+            wli=P(), twi_t=P(None, "coeff", None), wri_t=P(),
+            q=P(), qinv=P(), dm=P(),
+        )
+
+
+def _ntt_tables_for(ctx: Context, limbs: np.ndarray) -> ShardedNTT:
+    fwd = ctx.ntt_fwd
+    inv = ctx.ntt_inv
+    return ShardedNTT(
+        wl=fwd.wl_digits[limbs],
+        tw=fwd.tw_mont[limbs],
+        wr=fwd.wr_digits[limbs],
+        wli=inv.wl_digits[limbs],
+        twi_t=jnp.swapaxes(inv.tw_mont[limbs], -1, -2),
+        wri_t=jnp.swapaxes(inv.wr_digits[limbs], -1, -2),
+        q=ctx.q[limbs],
+        qinv=ctx.qinv_neg[limbs],
+        dm=ctx.digit_mont[limbs],
+    )
+
+
+# -- transform bodies (called INSIDE shard_map; x blocks are local shards) --
+
+
+def ntt_fwd_body(x: jnp.ndarray, t: ShardedNTT, axis: str = "coeff") -> jnp.ndarray:
+    """Coeff rows [L, n1/C, n2] -> eval [L, n1/C (k1), n2 (k2)]. Two a2a."""
+    q, qinv = t.q[:, None, None], t.qinv[:, None, None]
+    x1 = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+    a = _recombine(_digit_dot_left(t.wl, _to_digits(x1)), t.dm, q, qinv)
+    b = mont_mul(a, t.tw, q, qinv)  # t.tw is the local j2 slice
+    b2 = jax.lax.all_to_all(b, axis, split_axis=1, concat_axis=2, tiled=True)
+    return _recombine(_digit_dot_right(_to_digits(b2), t.wr), t.dm, q, qinv)
+
+
+def ntt_inv_body(e: jnp.ndarray, t: ShardedNTT, axis: str = "coeff") -> jnp.ndarray:
+    """Eval [L, n1/C (k1), n2 (k2)] -> coeff rows [L, n1/C (j1), n2]. Two a2a.
+
+    Uses the same inverse tables as the single-chip path; WLi is symmetric so
+    the row-major contraction is the same sum in the same order (bit-exact).
+    """
+    q, qinv = t.q[:, None, None], t.qinv[:, None, None]
+    a = _recombine(_digit_dot_right(_to_digits(e), t.wli), t.dm, q, qinv)
+    b = mont_mul(a, t.twi_t, q, qinv)  # local k1 slice of TWi^T
+    b2 = jax.lax.all_to_all(b, axis, split_axis=2, concat_axis=1, tiled=True)
+    d = _recombine(_digit_dot_left(t.wri_t, _to_digits(b2)), t.dm, q, qinv)
+    return jax.lax.all_to_all(d, axis, split_axis=1, concat_axis=2, tiled=True)
+
+
+def _modular_allreduce(x: jnp.ndarray, q: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Exact mod-q sum across a mesh axis (raw psum would wrap uint32)."""
+    parts = jax.lax.all_gather(x, axis)  # [D, ...]
+    acc = parts[0]
+    for i in range(1, parts.shape[0]):
+        acc = add_mod(acc, parts[i], q)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Sharded key-switch bundle: group-parallel over the 'limb' axis
+# ---------------------------------------------------------------------------
+
+
+class ShardedKS(NamedTuple):
+    """Key-switch + ModDown + rescale tables, gadget groups sharded on 'limb'.
+
+    Groups are padded to gmax per limb-shard with zero tables (zero conv
+    columns/keys contribute exact zeros through the modular MAC).
+    """
+
+    src_idx: jnp.ndarray  # i32[Dl, gmax, S]   q-limb index of each src column
+    src_q: jnp.ndarray  # u32[Dl, gmax, S]
+    src_qinv: jnp.ndarray  # u32[Dl, gmax, S]
+    qhatinv: jnp.ndarray  # u32[Dl, gmax, S]   Montgomery (zero-padded)
+    conv: jnp.ndarray  # u32[Dl, gmax, K+alpha, S] extended matrix, Montgomery
+    key_b: jnp.ndarray  # u32[Dl, gmax, K+alpha, n1, n2] eval3d, Montgomery
+    key_a: jnp.ndarray  # u32[Dl, gmax, K+alpha, n1, n2]
+    p2q_qhatinv: jnp.ndarray  # u32[alpha]
+    p2q_conv: jnp.ndarray  # u32[K, alpha]
+    pinv: jnp.ndarray  # u32[K]
+    p_q: jnp.ndarray  # u32[alpha]
+    p_qinv: jnp.ndarray  # u32[alpha]
+    qlast_mod: jnp.ndarray  # u32[K-1]
+    qlast_inv: jnp.ndarray  # u32[K-1]
+
+    @staticmethod
+    def spec():
+        g = P("limb")
+        return ShardedKS(
+            src_idx=g, src_q=g, src_qinv=g, qhatinv=g, conv=g,
+            key_b=P("limb", None, None, "coeff", None),
+            key_a=P("limb", None, None, "coeff", None),
+            p2q_qhatinv=P(), p2q_conv=P(), pinv=P(), p_q=P(), p_qinv=P(),
+            qlast_mod=P(), qlast_inv=P(),
+        )
+
+
+def _key_eval3d(key: jnp.ndarray, qp_idx: np.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """[dnum, L_full, N] natural eval -> [dnum, K+alpha, n1, n2] sharded layout."""
+    sel = key[:, qp_idx]
+    return natural_to_eval3d(sel, n1, n2)
+
+
+@functools.lru_cache(maxsize=None)
+def _ks_host_tables(params: CKKSParams, level: int, n_limb: int):
+    """Host-side padded group tables (indices + primes), cached."""
+    ksc = make_ks_context(params, level)
+    groups = ks_groups(params, level)
+    dnum = len(groups)
+    alpha = params.alpha
+    gmax = math.ceil(dnum / n_limb)
+    qs = params.q_primes[:level]
+
+    src_idx = np.zeros((n_limb * gmax, alpha), dtype=np.int32)
+    src_q = np.ones((n_limb * gmax, alpha), dtype=np.uint32)
+    qhatinv = np.zeros((n_limb * gmax, alpha), dtype=np.uint32)
+    conv = np.zeros(
+        (n_limb * gmax, level + len(params.p_primes), alpha), dtype=np.uint32
+    )
+    for d, (d0, d1) in enumerate(groups):
+        s = d1 - d0
+        src_idx[d, :s] = np.arange(d0, d1)
+        src_q[d, :s] = np.asarray(qs[d0:d1], dtype=np.uint32)
+        qhatinv[d, :s] = np.asarray(ksc.modup_qhatinv[d])
+        conv[d, :, :s] = np.asarray(ksc.modup_conv[d])
+    shape = (n_limb, gmax)
+    return (
+        gmax,
+        dnum,
+        src_idx.reshape(*shape, alpha),
+        src_q.reshape(*shape, alpha),
+        qhatinv.reshape(*shape, alpha),
+        conv.reshape(*shape, *conv.shape[1:]),
+        ksc,
+    )
+
+
+def make_sharded_ks(
+    params: CKKSParams, level: int, ksk: DeviceKSKey, n_limb: int
+) -> tuple[ShardedKS, int]:
+    """Build the ShardedKS bundle (device arrays) for a key at a level."""
+    n1, n2 = fourstep_split(params.n)
+    qp_idx = np.asarray(qp_indices(params, level))
+    gmax, dnum, src_idx, src_q, qhatinv, conv, ksc = _ks_host_tables(
+        params, level, n_limb
+    )
+    ctx = make_context(params)
+
+    kb = _key_eval3d(ksk.b_mont, qp_idx, n1, n2)
+    ka = _key_eval3d(ksk.a_mont, qp_idx, n1, n2)
+    pad = n_limb * gmax - dnum
+    if pad:
+        z = jnp.zeros((pad,) + kb.shape[1:], dtype=kb.dtype)
+        kb = jnp.concatenate([kb, z], axis=0)
+        ka = jnp.concatenate([ka, z], axis=0)
+    kb = kb.reshape(n_limb, gmax, *kb.shape[1:])
+    ka = ka.reshape(n_limb, gmax, *ka.shape[1:])
+
+    alpha = len(params.p_primes)
+    p_idx = np.arange(params.num_limbs, params.num_limbs + alpha)
+    src_q_j = jnp.asarray(src_q)
+    # -q^{-1} mod 2^32 for the (padded) src primes, computed host-side
+    src_qinv = np.zeros_like(src_q)
+    flat_q = src_q.reshape(-1)
+    flat_inv = src_qinv.reshape(-1)
+    for i, q in enumerate(flat_q):
+        flat_inv[i] = (-pow(int(q), -1, 1 << 32)) % (1 << 32) if int(q) % 2 == 1 else 0
+
+    return (
+        ShardedKS(
+            src_idx=jnp.asarray(src_idx),
+            src_q=src_q_j,
+            src_qinv=jnp.asarray(src_qinv),
+            qhatinv=jnp.asarray(qhatinv),
+            conv=jnp.asarray(conv),
+            key_b=kb,
+            key_a=ka,
+            p2q_qhatinv=ksc.p2q_qhatinv,
+            p2q_conv=ksc.p2q_conv,
+            pinv=ksc.pinv_mont,
+            p_q=ctx.q[p_idx],
+            p_qinv=ctx.qinv_neg[p_idx],
+            qlast_mod=ksc.qlast_mod,
+            qlast_inv=ksc.qlast_inv_mont,
+        ),
+        gmax,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The sharded homomorphic-multiply program (tensor + relin + rescale)
+# ---------------------------------------------------------------------------
+
+
+def _keyswitch_body(
+    d2: jnp.ndarray,
+    t_q: ShardedNTT,
+    t_qp: ShardedNTT,
+    ks: ShardedKS,
+    level: int,
+    gmax: int,
+):
+    """Group-parallel hybrid key switch of eval3d d2 [K, n1/C, n2]."""
+    kq = t_qp.q[:, None, None]
+    kqinv = t_qp.qinv[:, None, None]
+
+    d2_coeff = ntt_inv_body(d2, t_q)
+
+    # my limb-shard's group tables (leading axis of size 1 under shard_map)
+    src_idx = ks.src_idx[0]
+    src_q = ks.src_q[0][..., None, None]
+    src_qinv = ks.src_qinv[0][..., None, None]
+    qhatinv = ks.qhatinv[0][..., None, None]
+    conv = ks.conv[0]
+    key_b, key_a = ks.key_b[0], ks.key_a[0]
+
+    acc0 = acc1 = None
+    for g in range(gmax):
+        x_src = jnp.take(d2_coeff, src_idx[g], axis=0)  # [S, n1/C, n2]
+        v = mont_mul(x_src, qhatinv[g], src_q[g], src_qinv[g])
+        raised = None
+        for i in range(v.shape[0]):  # S = alpha, tiny: unrolled
+            term = mont_mul(v[i][None], conv[g, :, i][:, None, None], kq, kqinv)
+            raised = term if raised is None else add_mod(raised, term, kq)
+        r = ntt_fwd_body(raised, t_qp)
+        t0 = mont_mul(r, key_b[g], kq, kqinv)
+        t1 = mont_mul(r, key_a[g], kq, kqinv)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, kq)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, kq)
+
+    # exact modular reduction of the inner product across the limb axis
+    acc0 = _modular_allreduce(acc0, kq, "limb")
+    acc1 = _modular_allreduce(acc1, kq, "limb")
+
+    # ModDown by P, back to the q-basis, NTT domain
+    k = level
+    qq = t_q.q[:, None, None]
+    qqinv = t_q.qinv[:, None, None]
+    out = []
+    for acc in (acc0, acc1):
+        coeff = ntt_inv_body(acc, t_qp)
+        vp = mont_mul(
+            coeff[k:],
+            ks.p2q_qhatinv[:, None, None],
+            ks.p_q[:, None, None],
+            ks.p_qinv[:, None, None],
+        )
+        p_part = None
+        for i in range(vp.shape[0]):
+            term = mont_mul(vp[i][None], ks.p2q_conv[:, i][:, None, None], qq, qqinv)
+            p_part = term if p_part is None else add_mod(p_part, term, qq)
+        down = mont_mul(
+            sub_mod(coeff[:k], p_part, qq), ks.pinv[:, None, None], qq, qqinv
+        )
+        out.append(ntt_fwd_body(down, t_q))
+    return out[0], out[1]
+
+
+def _mult_body(
+    a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks: ShardedKS, level: int, gmax: int,
+    q_last_half: int,
+):
+    """tensor -> relinearize -> rescale, all sharded. Blocks are eval3d."""
+    q = t_q.q[:, None, None]
+    qinv = t_q.qinv[:, None, None]
+    r2 = r2_q[:, None, None]
+
+    d0 = mul_mod(a0, b0, q, qinv, r2)
+    d1 = add_mod(mul_mod(a0, b1, q, qinv, r2), mul_mod(a1, b0, q, qinv, r2), q)
+    d2 = mul_mod(a1, b1, q, qinv, r2)
+
+    ks0, ks1 = _keyswitch_body(d2, t_q, t_qp, ks, level, gmax)
+    c0 = add_mod(d0, ks0, q)
+    c1 = add_mod(d1, ks1, q)
+
+    # rescale by q_last (coefficient domain)
+    k = level
+    qm = t_qm1.q[:, None, None]
+    qminv = t_qm1.qinv[:, None, None]
+    out = []
+    for comp in (c0, c1):
+        coeff = ntt_inv_body(comp, t_q)
+        last = coeff[k - 1]
+        r = barrett_reduce_u32(last[None], qm)
+        lifted = jnp.where(
+            last[None] > jnp.uint32(q_last_half),
+            sub_mod(r, ks.qlast_mod[:, None, None], qm),
+            r,
+        )
+        down = mont_mul(
+            sub_mod(coeff[: k - 1], lifted, qm),
+            ks.qlast_inv[:, None, None],
+            qm,
+            qminv,
+        )
+        out.append(ntt_fwd_body(down, t_qm1))
+    return out[0], out[1]
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_mult(params: CKKSParams, level: int, mesh: Mesh):
+    """Compile the sharded tensor+relin+rescale step for a mesh.
+
+    Returns (fn, prepare) where prepare(rlk) builds the operand bundle and
+    fn(a0, a1, b0, b1, bundle) maps eval3d-sharded ciphertext components
+    [K, n1, n2] -> two [K-1, n1, n2] components.
+    """
+    n_limb = mesh.shape["limb"]
+    n1, n2 = fourstep_split(params.n)
+    ctx = make_context(params)
+    k = level
+    qp_idx = np.asarray(qp_indices(params, level))
+    t_q = _ntt_tables_for(ctx, np.arange(k))
+    t_qp = _ntt_tables_for(ctx, qp_idx)
+    t_qm1 = _ntt_tables_for(ctx, np.arange(k - 1))
+    r2_q = ctx.r2[:k]
+    q_last_half = int(params.q_primes[k - 1]) // 2
+
+    def prepare(ksk: DeviceKSKey):
+        ks, gmax = make_sharded_ks(params, level, ksk, n_limb)
+        assert gmax == math.ceil(len(ks_groups(params, level)) / n_limb)
+        return (ks, gmax)
+
+    ct_spec = P(None, "coeff", None)
+    gmax_static = math.ceil(len(ks_groups(params, level)) / n_limb)
+
+    def body(a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks):
+        return _mult_body(
+            a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks, level, gmax_static,
+            q_last_half,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            ct_spec, ct_spec, ct_spec, ct_spec,
+            P(),
+            ShardedNTT.spec(), ShardedNTT.spec(), ShardedNTT.spec(),
+            ShardedKS.spec(),
+        ),
+        out_specs=(ct_spec, ct_spec),
+        check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    def run(a0, a1, b0, b1, bundle):
+        ks, _gmax = bundle
+        return jit_fn(a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks)
+
+    return run, prepare
+
+
+# ---------------------------------------------------------------------------
+# Host helpers for moving single-chip ciphertexts onto the mesh
+# ---------------------------------------------------------------------------
+
+
+def shard_ct_component(x: jnp.ndarray, params: CKKSParams, mesh: Mesh) -> jnp.ndarray:
+    """Natural-order eval [K, N] -> eval3d [K, n1, n2] sharded on the mesh."""
+    n1, n2 = fourstep_split(params.n)
+    e3 = natural_to_eval3d(x, n1, n2)
+    return jax.device_put(e3, NamedSharding(mesh, P(None, "coeff", None)))
+
+
+def unshard_ct_component(x: jnp.ndarray) -> jnp.ndarray:
+    """Eval3d [K, n1, n2] (any sharding) -> natural-order eval [K, N] on host."""
+    return eval3d_to_natural(jax.device_get(x))

@@ -55,8 +55,13 @@ class KSContext(NamedTuple):
     """
 
     # ModUp (per decomposition group g with src limbs qs[d0:d1]):
-    modup_qhatinv: tuple  # u32[S_g]        [Qhat_g_i^{-1}]_{q_i}, Montgomery
-    modup_conv: tuple  # u32[T_g, S_g]   [Qhat_g_i]_{t}, Montgomery (dst rows)
+    modup_qhatinv: tuple  # u32[S_g]          [Qhat_g_i^{-1}]_{q_i}, Montgomery
+    modup_conv: tuple  # u32[K+alpha, S_g]  [Qhat_g_i]_{t} over the FULL active
+    #   QP chain, Montgomery. Rows for the group's own limbs act as the
+    #   identity: q_j | Qhat_g_i for i != j inside the group, so the MAC
+    #   reduces to v_j * [Qhat_g_j]_{q_j} = x_j exactly — no concatenation
+    #   assembly needed, and every group runs the same uniform program
+    #   (required by the SPMD sharded path, parallel/).
     # ModDown by P (p-basis -> active q-basis):
     p2q_qhatinv: jnp.ndarray  # u32[alpha]
     p2q_conv: jnp.ndarray  # u32[K, alpha]
@@ -73,15 +78,16 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
     ps = params.p_primes
 
     modup_qhatinv, modup_conv = [], []
+    qp = qs + ps
     for d0, d1 in ks_groups(params, level):
         src = qs[d0:d1]
-        dst = qs[:d0] + qs[d1:] + ps
         modup_qhatinv.append(
             jnp.asarray(_mont_np(grns.qhat_inv(src), np.array(src)))
         )
-        conv = grns.conv_matrix(src, dst)  # int64[T, S]
+        # extended matrix over the FULL active chain (identity rows included)
+        conv = grns.conv_matrix(src, qp)  # int64[K+alpha, S]
         modup_conv.append(
-            jnp.asarray(_mont_np(conv, np.array(dst, dtype=np.int64)[:, None]))
+            jnp.asarray(_mont_np(conv, np.array(qp, dtype=np.int64)[:, None]))
         )
 
     p2q_qhatinv = _mont_np(grns.qhat_inv(ps), np.array(ps))
@@ -141,25 +147,24 @@ def mod_up(
     """
     k = level
     alpha = len(params.p_primes)
-    qp_idx = list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+    qp_idx = np.asarray(
+        list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+    )
+    qp_q, qp_qinv = ctx.q[qp_idx], ctx.qinv_neg[qp_idx]
     out = []
     for g, (d0, d1) in enumerate(ks_groups(params, level)):
-        src_idx = list(range(d0, d1))
-        dst_idx = list(range(0, d0)) + list(range(d1, k)) + qp_idx[k:]
-        conv = base_convert(
-            x_coeff[d0:d1],
-            ctx.q[np.asarray(src_idx)],
-            ctx.qinv_neg[np.asarray(src_idx)],
-            ksc.modup_qhatinv[g],
-            ksc.modup_conv[g],
-            ctx.q[np.asarray(dst_idx)],
-            ctx.qinv_neg[np.asarray(dst_idx)],
+        src_idx = np.arange(d0, d1)
+        out.append(
+            base_convert(
+                x_coeff[d0:d1],
+                ctx.q[src_idx],
+                ctx.qinv_neg[src_idx],
+                ksc.modup_qhatinv[g],
+                ksc.modup_conv[g],
+                qp_q,
+                qp_qinv,
+            )
         )
-        s = d1 - d0
-        full = jnp.concatenate(
-            [conv[:d0], x_coeff[d0:d1], conv[d0 : k - s], conv[k - s :]], axis=0
-        )
-        out.append(full)
     return out
 
 
