@@ -275,3 +275,76 @@ def decrypt_decode(
 ) -> np.ndarray:
     coeff = decrypt_to_coeff(ct, params, sk, ctx)
     return gckks.decode(coeff, ct.scale, ct.primes(params), params.n)
+
+
+# ---------------------------------------------------------------------------
+# Hoisted rotations (BASELINE.json:10 config 4) — device mirror of
+# golden ct_rotate_hoisted: ONE decompose+ModUp+NTT, many automorphisms.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _hoist_core(c1, ctx, ksc, params, level):
+    """Raised gadget polys of c1 in NTT domain over the active QP basis."""
+    from gpufhe_tpu.primitives.keyswitch import qp_indices
+    from gpufhe_tpu.primitives.rns import mod_up
+
+    q_idx = list(range(level))
+    qp_idx = qp_indices(params, level)
+    c1_coeff = ntt_inv(c1, ctx, limbs=q_idx)
+    raised = mod_up(c1_coeff, params, level, ctx, ksc)
+    return tuple(ntt_fwd(r, ctx, limbs=qp_idx) for r in raised)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _hoisted_galois_core(raised, c0, perm, ctx, ksc, gk, params, level):
+    from gpufhe_tpu.primitives.keyswitch import qp_indices
+    from gpufhe_tpu.primitives.rns import mod_down
+
+    qp_idx = np.asarray(qp_indices(params, level))
+    q_idx = list(range(level))
+    qp_q = ctx.q[qp_idx][:, None]
+    qp_qinv = ctx.qinv_neg[qp_idx][:, None]
+    q = ctx.q[:level][:, None]
+
+    acc0 = acc1 = None
+    for d, r in enumerate(raised):
+        rg = jnp.take(r, perm, axis=1)
+        t0 = mont_mul(rg, gk.b_mont[d][qp_idx], qp_q, qp_qinv)
+        t1 = mont_mul(rg, gk.a_mont[d][qp_idx], qp_q, qp_qinv)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
+
+    out = []
+    for acc in (acc0, acc1):
+        coeff = ntt_inv(acc, ctx, limbs=qp_idx)
+        down = mod_down(coeff, params, level, ctx, ksc)
+        out.append(ntt_fwd(down, ctx, limbs=q_idx))
+    ks0, ks1 = out
+    c0g = jnp.take(c0, perm, axis=1)
+    return add_mod(c0g, ks0, q), ks1
+
+
+def ct_rotate_hoisted(
+    ct: Ciphertext,
+    steps_list,
+    params: CKKSParams,
+    ctx: Context,
+    gks: dict,
+) -> list:
+    """Rotate by many step counts sharing one decomposition (device).
+
+    gks maps steps -> DeviceKSKey. Bit-exact vs golden ct_rotate_hoisted.
+    """
+    assert len(ct.c) == 2
+    ksc = make_ks_context(params, ct.level)
+    raised = _hoist_core(ct.c[1], ctx, ksc, params, ct.level)
+    out = []
+    for steps in steps_list:
+        g = gckks.galois_exponent(steps, params.n)
+        c0, c1 = _hoisted_galois_core(
+            raised, ct.c[0], _perm_dev(g, params.n), ctx, ksc, gks[steps],
+            params, ct.level,
+        )
+        out.append(Ciphertext([c0, c1], ct.level, ct.scale))
+    return out

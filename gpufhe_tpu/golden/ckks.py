@@ -461,3 +461,88 @@ def ct_conjugate(ct: Ciphertext, params: CKKSParams, ck: KSKey) -> Ciphertext:
     return Ciphertext(
         c=[poly_add(c0g, ks0, primes), ks1], level=ct.level, scale=ct.scale
     )
+
+
+# ---------------------------------------------------------------------------
+# Hoisted rotations (BASELINE.json:10 config 4)
+# ---------------------------------------------------------------------------
+
+
+def hoist_decompose(ct: Ciphertext, params: CKKSParams):
+    """The shared (hoisted) part of rotation key-switching: decompose +
+    ModUp + NTT the c1 component ONCE for any number of rotations.
+
+    Returns the raised gadget polys in NTT domain over the active QP basis.
+    Hoisting applies the automorphism to these *after* ModUp (it commutes up
+    to the approximate-base-conversion error term, which ModDown absorbs as
+    noise); results therefore differ bit-wise from unhoisted ct_rotate but
+    decrypt identically up to noise.
+    """
+    level = ct.level
+    q_primes = params.q_primes[:level]
+    p_primes = params.p_primes
+    qp_active = q_primes + p_primes
+    k = level
+    alpha = len(p_primes)
+    c1_coeff = intt_limbs(ct.c[1], params, q_primes)
+    groups = ks_groups(params, level)
+    raised = []
+    for d0, d1 in groups:
+        src = q_primes[d0:d1]
+        others = q_primes[:d0] + q_primes[d1:] + p_primes
+        conv = grns.base_convert(c1_coeff[d0:d1], src, others)
+        full = np.empty((k + alpha, params.n), dtype=np.int64)
+        full[d0:d1] = c1_coeff[d0:d1]
+        full[:d0] = conv[:d0]
+        full[d1:k] = conv[d0 : k - (d1 - d0)]
+        full[k:] = conv[k - (d1 - d0) :]
+        raised.append(ntt_limbs(full, params, qp_active))
+    return raised
+
+
+def _hoisted_key_switch(raised, perm, params: CKKSParams, level: int, ksk: KSKey):
+    """Inner product of permuted raised polys with the key + ModDown."""
+    q_primes = params.q_primes[:level]
+    p_primes = params.p_primes
+    qp_active = q_primes + p_primes
+    k = level
+    alpha = len(p_primes)
+    acc0 = np.zeros((k + alpha, params.n), dtype=np.int64)
+    acc1 = np.zeros_like(acc0)
+    qp_idx = list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+    for d, r in enumerate(raised):
+        rg = r[:, perm]
+        kb = ksk.b[d][qp_idx]
+        ka = ksk.a[d][qp_idx]
+        acc0 = poly_add(acc0, poly_mul(rg, kb, qp_active), qp_active)
+        acc1 = poly_add(acc1, poly_mul(rg, ka, qp_active), qp_active)
+    out = []
+    for acc in (acc0, acc1):
+        coeff = intt_limbs(acc, params, qp_active)
+        down = grns.mod_down_coeff(coeff, q_primes, p_primes)
+        out.append(ntt_limbs(down, params, q_primes))
+    return out[0], out[1]
+
+
+def ct_rotate_hoisted(
+    ct: Ciphertext, steps_list, params: CKKSParams, gks: dict
+) -> list:
+    """Rotate one ciphertext by many step counts, sharing one decomposition.
+
+    gks maps steps -> KSKey (Galois key). Returns one Ciphertext per step.
+    """
+    assert len(ct.c) == 2
+    primes = ct.primes(params)
+    raised = hoist_decompose(ct, params)
+    out = []
+    for steps in steps_list:
+        g = galois_exponent(steps, params.n)
+        perm = automorphism_perm_eval(g, params.n)
+        ks0, ks1 = _hoisted_key_switch(raised, perm, params, ct.level, gks[steps])
+        c0g = ct.c[0][:, perm]
+        out.append(
+            Ciphertext(
+                c=[poly_add(c0g, ks0, primes), ks1], level=ct.level, scale=ct.scale
+            )
+        )
+    return out

@@ -141,3 +141,20 @@ def test_conjugation_parity(stack):
 
     got = dct.decrypt_decode(cj_dev, params, chest.device_sk, ctx)
     assert np.abs(got - np.conj(z)).max() < 1e-2
+
+
+def test_hoisted_rotations_parity(stack):
+    params, ctx, chest = stack
+    z = _rand_slots(params, np.random.default_rng(6))
+    ct_dev, ct_gold = _encrypt_both(params, ctx, chest, z, seed=71)
+
+    steps_list = [1, 3]
+    dev_gks = {s: chest.galois_key(s) for s in steps_list}
+    gold_gks = {s: chest.golden_galois_key(s) for s in steps_list}
+
+    outs_dev = dct.ct_rotate_hoisted(ct_dev, steps_list, params, ctx, dev_gks)
+    outs_gold = gckks.ct_rotate_hoisted(ct_gold, steps_list, params, gold_gks)
+    for od, og, s in zip(outs_dev, outs_gold, steps_list):
+        _assert_ct_equal(od, og)
+        got = dct.decrypt_decode(od, params, chest.device_sk, ctx)
+        assert np.abs(got - np.roll(z, -s)).max() < 1e-2
