@@ -1,0 +1,204 @@
+"""Uniform op surface over the device and golden pipelines.
+
+Bootstrapping and the homomorphic linear-algebra layer (linalg.py,
+bootstrap.py) are written once against this interface and executed on either
+backend. Because every primitive here is individually bit-exact between the
+two pipelines (tests/test_pipeline.py), any composition — including the full
+bootstrap — is bit-exact too; the golden backend doubles as the oracle for
+end-to-end limb-trace tests at a fraction of the code.
+
+Scale management: adds require (approximately) matching scales; encoded
+plaintexts are generated at exactly the scale the consuming op needs, so the
+only drift is the standard CKKS rescale drift (q_i != 2^scale_bits), which
+stays far below the noise floor for near-power-of-two prime chains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpufhe_tpu.golden import ckks as gckks
+from gpufhe_tpu.params.params import CKKSParams
+
+_REL_SCALE_TOL = 1e-6
+
+
+def _check_scales(a_scale: float, b_scale: float):
+    assert abs(a_scale / b_scale - 1.0) < 1e-2, (
+        f"scale mismatch: {a_scale} vs {b_scale}"
+    )
+
+
+class DeviceBackend:
+    """Ops on the jitted TPU pipeline (ciphertext/ct.py)."""
+
+    def __init__(self, params: CKKSParams, ctx, chest):
+        from gpufhe_tpu.ciphertext import ct as dct
+        from gpufhe_tpu.encoding import encoder
+
+        self.params = params
+        self.ctx = ctx
+        self.chest = chest
+        self._ct = dct
+        self._enc = encoder
+
+    # -- plaintext handling -------------------------------------------------
+    def encode_slots(self, z, scale: float, level: int):
+        """complex[slots] -> device NTT-domain Montgomery plaintext [level, N]."""
+        pt = gckks.encode(
+            np.asarray(z, dtype=np.complex128),
+            scale,
+            self.params.q_primes[:level],
+            self.params.n,
+        )
+        return self._enc.plaintext_to_device(pt, self.params, self.ctx), scale
+
+    def mul_plain(self, ct, pt_handle):
+        pt, scale = pt_handle
+        return self._ct.ct_mul_plain(ct, pt, scale, self.ctx)
+
+    def add_plain(self, ct, z):
+        """Add a complex constant vector (encoded at ct.scale) to the message."""
+        pt = gckks.encode(
+            np.broadcast_to(np.asarray(z, dtype=np.complex128), (self.params.slots,)),
+            ct.scale,
+            self.params.q_primes[: ct.level],
+            self.params.n,
+        )
+        import jax.numpy as jnp
+
+        from gpufhe_tpu.ops.modops import add_mod
+        from gpufhe_tpu.ops.ntt import ntt_fwd
+
+        pt_ntt = ntt_fwd(
+            jnp.asarray(pt.astype(np.uint32)), self.ctx, limbs=list(range(ct.level))
+        )
+        q = self.ctx.q[: ct.level][:, None]
+        c = list(ct.c)
+        c[0] = add_mod(c[0], pt_ntt, q)
+        return self._ct.Ciphertext(c, ct.level, ct.scale)
+
+    # -- ciphertext ops (levels auto-aligned by limb truncation) ------------
+    def _align(self, a, b):
+        lvl = min(a.level, b.level)
+        return self.drop_to_level(a, lvl), self.drop_to_level(b, lvl)
+
+    def add(self, a, b):
+        _check_scales(a.scale, b.scale)
+        a, b = self._align(a, b)
+        b = self._ct.Ciphertext(b.c, b.level, a.scale)
+        return self._ct.ct_add(a, b, self.ctx)
+
+    def sub(self, a, b):
+        _check_scales(a.scale, b.scale)
+        a, b = self._align(a, b)
+        b = self._ct.Ciphertext(b.c, b.level, a.scale)
+        return self._ct.ct_sub(a, b, self.ctx)
+
+    def mul(self, a, b):
+        a, b = self._align(a, b)
+        return self._ct.ct_mul(a, b, self.params, self.ctx, self.chest.device_rlk)
+
+    def mod_raise(self, ct):
+        return self._ct.ct_mod_raise(ct, self.params, self.ctx)
+
+    def rescale(self, ct):
+        return self._ct.ct_rescale(ct, self.params, self.ctx)
+
+    def rotate_hoisted(self, ct, steps_list):
+        gks = {s: self.chest.galois_key(s) for s in steps_list}
+        outs = self._ct.ct_rotate_hoisted(ct, steps_list, self.params, self.ctx, gks)
+        return dict(zip(steps_list, outs))
+
+    def conjugate(self, ct):
+        return self._ct.ct_conjugate(ct, self.params, self.ctx, self.chest.conj_key())
+
+    def drop_to_level(self, ct, level: int):
+        """Mod-switch down by truncating RNS limbs (exact, no scaling)."""
+        assert level <= ct.level
+        return self._ct.Ciphertext([c[:level] for c in ct.c], level, ct.scale)
+
+    def decrypt_decode(self, ct):
+        return self._ct.decrypt_decode(ct, self.params, self.chest.device_sk, self.ctx)
+
+    def level(self, ct):
+        return ct.level
+
+
+class GoldenBackend:
+    """Ops on the pure-numpy golden pipeline (golden/ckks.py)."""
+
+    def __init__(self, params: CKKSParams, chest):
+        self.params = params
+        self.chest = chest
+
+    def encode_slots(self, z, scale: float, level: int):
+        pt = gckks.encode(
+            np.asarray(z, dtype=np.complex128),
+            scale,
+            self.params.q_primes[:level],
+            self.params.n,
+        )
+        pt_ntt = gckks.ntt_limbs(pt, self.params, self.params.q_primes[:level])
+        return pt_ntt, scale
+
+    def mul_plain(self, ct, pt_handle):
+        pt_ntt, scale = pt_handle
+        return gckks.ct_mul_plain(ct, pt_ntt, scale, self.params)
+
+    def add_plain(self, ct, z):
+        primes = ct.primes(self.params)
+        pt = gckks.encode(
+            np.broadcast_to(np.asarray(z, dtype=np.complex128), (self.params.slots,)),
+            ct.scale,
+            primes,
+            self.params.n,
+        )
+        pt_ntt = gckks.ntt_limbs(pt, self.params, primes)
+        c = list(ct.c)
+        c[0] = gckks.poly_add(c[0], pt_ntt, primes)
+        return gckks.Ciphertext(c, ct.level, ct.scale)
+
+    def _align(self, a, b):
+        lvl = min(a.level, b.level)
+        return self.drop_to_level(a, lvl), self.drop_to_level(b, lvl)
+
+    def add(self, a, b):
+        _check_scales(a.scale, b.scale)
+        a, b = self._align(a, b)
+        b = gckks.Ciphertext(b.c, b.level, a.scale)
+        return gckks.ct_add(a, b, self.params)
+
+    def sub(self, a, b):
+        _check_scales(a.scale, b.scale)
+        a, b = self._align(a, b)
+        b = gckks.Ciphertext(b.c, b.level, a.scale)
+        return gckks.ct_sub(a, b, self.params)
+
+    def mul(self, a, b):
+        a, b = self._align(a, b)
+        return gckks.ct_mul(a, b, self.params, self.chest.rlk)
+
+    def mod_raise(self, ct):
+        return gckks.ct_mod_raise(ct, self.params)
+
+    def rescale(self, ct):
+        return gckks.ct_rescale(ct, self.params)
+
+    def rotate_hoisted(self, ct, steps_list):
+        gks = {s: self.chest.golden_galois_key(s) for s in steps_list}
+        outs = gckks.ct_rotate_hoisted(ct, steps_list, self.params, gks)
+        return dict(zip(steps_list, outs))
+
+    def conjugate(self, ct):
+        return gckks.ct_conjugate(ct, self.params, self.chest.conj[0])
+
+    def drop_to_level(self, ct, level: int):
+        assert level <= ct.level
+        return gckks.Ciphertext([c[:level] for c in ct.c], level, ct.scale)
+
+    def decrypt_decode(self, ct):
+        return gckks.decrypt_decode(ct, self.params, self.chest.sk)
+
+    def level(self, ct):
+        return ct.level

@@ -1,0 +1,141 @@
+"""CKKS bootstrapping: ModRaise -> CoeffToSlot -> EvalMod -> SlotToCoeff.
+
+BASELINE.json:11 config 5; absent from the reference (SURVEY.md §2.4
+"Bootstrapping: none"). Backend-generic (backend.py) so the same
+orchestration runs on the device and golden pipelines.
+
+Pipeline (slots = n/2, q0 = first prime, Delta = 2^scale_bits):
+
+1. **ModRaise** — re-embed the exhausted level-1 ciphertext into the full
+   chain; plaintext becomes u = m + q0*I with small integer polynomial I.
+2. **CoeffToSlot** — two BSGS matmuls (linalg.py) with A = (1/n) E^dagger
+   where E[j,k] = zeta^(5^j k), zeta = e^(i pi/n) (the decoding matrix of
+   encoding/encoder.py): slot vectors become the real coefficient values
+   u_k / Delta (k < n/2 and k >= n/2 in two ciphertexts, realified via the
+   conjugate part A z + conj(A) conj(z)). The EvalMod input scaling
+   2 pi Delta / (q0 2^r) is folded into the matrices.
+3. **EvalMod** — remove q0*I: with x = (2 pi u / q0 - pi/2) / 2^r, evaluate
+   cos(x) by an even Taylor polynomial (Horner in z = x^2), then r
+   double-angle steps cos(2t) = 2 cos^2 t - 1 give cos(2^r x) =
+   sin(2 pi u / q0) ~= 2 pi m / q0.
+4. **SlotToCoeff** — BSGS matmuls with E (times q0 / (2 pi Delta), folded
+   in) map slot values back to coefficients; the two halves are summed.
+
+Levels consumed: 1 (CtS) + taylor_m + 1 + r (EvalMod) + 1 (StC).
+
+The direct dense CtS/StC matrices are O(slots) rotations — right for
+CI-scale rings; production N = 2^16 uses the factored-FFT variant (planned,
+see README roadmap).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from gpufhe_tpu.ciphertext.linalg import BsgsPlan, bsgs_rotations
+from gpufhe_tpu.params.params import CKKSParams
+
+
+def bootstrap_rotations(params: CKKSParams) -> list[int]:
+    """All Galois rotation steps bootstrapping needs (keygen input)."""
+    return bsgs_rotations(params.slots)
+
+
+def _embedding_matrix(n: int) -> np.ndarray:
+    """E[j, k] = zeta^(5^j k): slots(m) = E @ coeffs(m) (see golden encode)."""
+    slots = n // 2
+    exps = np.empty(slots, dtype=np.int64)
+    g = 1
+    for j in range(slots):
+        exps[j] = g
+        g = g * 5 % (2 * n)
+    k = np.arange(n)
+    ang = (exps[:, None] * k[None, :]) % (2 * n)
+    return np.exp(1j * np.pi * ang / n)
+
+
+class Bootstrapper:
+    """Precomputes the linear-transform plans and drives the pipeline."""
+
+    def __init__(self, be, r: int = 5, taylor_m: int = 4):
+        self.be = be
+        params: CKKSParams = be.params
+        self.params = params
+        self.r = r
+        self.taylor_m = taylor_m
+        n = params.n
+        slots = params.slots
+        q0 = params.q_primes[0]
+        delta = params.scale
+        full = params.num_limbs
+
+        e = _embedding_matrix(n)
+        a = (1.0 / n) * e.conj().T  # [n, slots]
+        cts_factor = 2.0 * math.pi * delta / (q0 * 2.0**self.r)
+        a0 = a[:slots] * cts_factor
+        a1 = a[slots:] * cts_factor
+
+        # CtS runs at the full level (right after ModRaise)
+        self.cts0 = BsgsPlan(be, a0, a0.conj(), level=full)
+        self.cts1 = BsgsPlan(be, a1, a1.conj(), level=full)
+
+        stc_factor = q0 / (2.0 * math.pi * delta)
+        stc_level = full - 1 - (self.taylor_m + 1 + self.r)
+        assert stc_level >= 2, (
+            f"not enough levels for bootstrap: need >= {self.taylor_m + self.r + 4}"
+        )
+        self.stc0 = BsgsPlan(be, e[:, :slots] * stc_factor, None, level=stc_level)
+        self.stc1 = BsgsPlan(be, e[:, slots:] * stc_factor, None, level=stc_level)
+
+        # even Taylor coefficients of cos: sum_j (-1)^j z^j / (2j)!, z = x^2
+        self.taylor = [
+            (-1.0) ** j / math.factorial(2 * j) for j in range(self.taylor_m + 1)
+        ]
+
+    # -- EvalMod ------------------------------------------------------------
+    def _mul_const(self, ct, c: float):
+        be = self.be
+        pt = be.encode_slots(
+            np.full(self.params.slots, c, dtype=np.complex128),
+            self.params.scale,
+            be.level(ct),
+        )
+        return be.rescale(be.mul_plain(ct, pt))
+
+    def _evalmod(self, x):
+        """cos Taylor in z = x^2 (Horner) + r double-angle steps."""
+        be = self.be
+        c = self.taylor
+        z = be.mul(x, x)
+        w = self._mul_const(z, c[-1])
+        w = be.add_plain(w, c[-2])
+        for j in range(self.taylor_m - 2, -1, -1):
+            w = be.mul(w, z)
+            w = be.add_plain(w, c[j])
+        y = w
+        for _ in range(self.r):
+            y2 = be.mul(y, y)
+            y = be.add_plain(be.add(y2, y2), -1.0)
+        return y
+
+    # -- full pipeline ------------------------------------------------------
+    def __call__(self, ct):
+        be = self.be
+        if be.level(ct) > 1:
+            ct = be.drop_to_level(ct, 1)
+        raised = be.mod_raise(ct)
+
+        t0 = self.cts0.apply(raised)
+        t1 = self.cts1.apply(raised)
+        shift = -math.pi / 2.0 ** (self.r + 1)
+        t0 = be.add_plain(t0, shift)
+        t1 = be.add_plain(t1, shift)
+
+        y0 = self._evalmod(t0)
+        y1 = self._evalmod(t1)
+
+        y0 = be.drop_to_level(y0, self.stc0.level)
+        y1 = be.drop_to_level(y1, self.stc1.level)
+        return be.add(self.stc0.apply(y0), self.stc1.apply(y1))

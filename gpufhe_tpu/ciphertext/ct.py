@@ -348,3 +348,40 @@ def ct_rotate_hoisted(
         )
         out.append(Ciphertext([c0, c1], ct.level, ct.scale))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ModRaise (bootstrapping step 0) — device mirror of golden ct_mod_raise
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _mod_raise_core(cs, ctx, params):
+    """Centered lift of single-limb coeffs mod q0 into the full chain."""
+    from gpufhe_tpu.ops.modops import barrett_reduce_u32
+
+    level = params.num_limbs
+    q0 = int(params.q_primes[0])
+    q = ctx.q[:level][:, None]
+    qlift = barrett_reduce_u32(jnp.full((level, 1), jnp.uint32(q0 % (1 << 32))), q)
+    # q0 mod q_i for each target limb (q0 itself may exceed some q_i)
+    out = []
+    for comp in cs:
+        coeff = ntt_inv(comp, ctx, limbs=[0])  # u32[1, N] mod q0
+        r = barrett_reduce_u32(coeff, q)  # broadcast to [level, N]
+        lifted = jnp.where(
+            coeff > jnp.uint32(q0 // 2), sub_mod(r, qlift, q), r
+        )
+        out.append(ntt_fwd(lifted, ctx, limbs=list(range(level))))
+    return tuple(out)
+
+
+def ct_mod_raise(ct: Ciphertext, params: CKKSParams, ctx: Context) -> Ciphertext:
+    """Re-embed an exhausted (level-1) ciphertext into the full chain.
+
+    Output encrypts m + q0*I for a small integer polynomial I (golden
+    ct_mod_raise); the bootstrap pipeline removes the q0*I term.
+    """
+    assert ct.level == 1 and len(ct.c) == 2
+    new = list(_mod_raise_core(tuple(ct.c), ctx, params))
+    return Ciphertext(new, params.num_limbs, ct.scale)

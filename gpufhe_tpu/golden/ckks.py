@@ -201,7 +201,10 @@ def gadget_factors(params: CKKSParams) -> list[int]:
 def keygen(params: CKKSParams, rng: np.random.Generator):
     """Secret + public keys. All key material lives in NTT domain."""
     primes = params.q_primes
-    s = sample_ternary(rng, params.n)
+    if params.hamming_weight:
+        s = sample_sparse_ternary(rng, params.n, params.hamming_weight)
+    else:
+        s = sample_ternary(rng, params.n)
     s_ntt = ntt_limbs(small_to_rns(s, primes), params, primes)
     a = sample_uniform(rng, primes, params.n)  # sampled directly in NTT domain
     e = ntt_limbs(small_to_rns(sample_gauss(rng, params.n, params.sigma), primes), params, primes)
@@ -546,3 +549,29 @@ def ct_rotate_hoisted(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# ModRaise (bootstrapping step 0): re-embed an exhausted ciphertext mod q0
+# into the full modulus chain. Output encrypts m + q0*I for small I.
+# ---------------------------------------------------------------------------
+
+
+def ct_mod_raise(ct: Ciphertext, params: CKKSParams) -> Ciphertext:
+    assert ct.level == 1 and len(ct.c) == 2
+    q0 = params.q_primes[0]
+    primes = params.q_primes
+    new = []
+    for comp in ct.c:
+        coeff = intt_limbs(comp, params, (q0,))
+        lifted = grns.center_reduce(coeff[0], q0, primes)
+        new.append(ntt_limbs(lifted, params, primes))
+    return Ciphertext(c=new, level=params.num_limbs, scale=ct.scale)
+
+
+def sample_sparse_ternary(rng: np.random.Generator, n: int, h: int) -> np.ndarray:
+    """Ternary secret with exactly h nonzero (+-1) coefficients."""
+    s = np.zeros(n, dtype=np.int64)
+    idx = rng.choice(n, size=h, replace=False)
+    s[idx] = rng.integers(0, 2, size=h, dtype=np.int64) * 2 - 1
+    return s

@@ -137,6 +137,7 @@ def preset(name: str) -> CKKSParams:
       config3_ckks     — N=2^15 encode/encrypt/mult/relin
       config4_rotation — hybrid key-switching + hoisted rotations
       config5_boot     — N=2^16, L=30 bootstrapping-scale context
+      boot_ci          — small full-bootstrap context (CPU CI)
       tiny / tiny2     — fast CI contexts (CPU, seconds)
     """
     if name == "tiny":
@@ -145,6 +146,11 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
     if name == "ci_small":
         return _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+    if name == "boot_ci":
+        # CI-scale bootstrapping: 14 levels (CtS 1 + EvalMod 10 + StC 1 + margin),
+        # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
+        p = _mk(n=2**7, n_q=14, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=16)
     if name == "config1_ntt":
         return _mk(n=2**12, n_q=1, n_p=1, scale_bits=28)
     if name == "config2_rns":
