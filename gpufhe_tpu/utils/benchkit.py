@@ -1,0 +1,103 @@
+"""Per-kernel benchmark + roofline harness (SURVEY.md §5 metrics plan).
+
+Each entry times one jitted kernel on the current default device and reports
+achieved throughput against two speed-of-light ceilings:
+
+* HBM roofline — bytes moved at the chip's HBM bandwidth (elementwise ops)
+* MXU roofline — int8 MAC throughput (the NTT digit matmuls)
+
+Chip peaks default to TPU v5e (the bench chip) and are overridable via env
+(PEAK_HBM_GBPS, PEAK_INT8_TOPS).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def _peaks():
+    return (
+        float(os.environ.get("PEAK_HBM_GBPS", 819e9)),
+        float(os.environ.get("PEAK_INT8_TOPS", 394e12)),
+    )
+
+
+def time_it(fn, *args, iters: int = 20, warmup: int = 2) -> float:
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def bench_all(preset_name: str = "config5_boot", iters: int = 20) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.ops import modops
+    from gpufhe_tpu.ops.context import fourstep_split, make_context
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from gpufhe_tpu.params.params import preset
+
+    hbm_bw, int8_peak = _peaks()
+    params = preset(preset_name)
+    ctx = make_context(params)
+    L, n = params.num_limbs, params.n
+    n1, n2 = fourstep_split(n)
+    rng = np.random.default_rng(0)
+    q = np.asarray(params.q_primes, dtype=np.uint32)
+    x = jnp.asarray(rng.integers(0, q[:, None], size=(L, n), dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, q[:, None], size=(L, n), dtype=np.uint32))
+    qb = ctx.q[:L][:, None]
+    qinvb = ctx.qinv_neg[:L][:, None]
+    r2b = ctx.r2[:L][:, None]
+
+    rows = []
+
+    def row(name, dt, bytes_moved=None, macs=None):
+        r = {"kernel": name, "ms": round(dt * 1e3, 4)}
+        if bytes_moved:
+            r["GB/s"] = round(bytes_moved / dt / 1e9, 1)
+            r["pct_HBM_SoL"] = round(100 * bytes_moved / dt / hbm_bw, 1)
+        if macs:
+            r["TOPS"] = round(2 * macs / dt / 1e12, 2)
+            r["pct_MXU_SoL"] = round(100 * 2 * macs / dt / int8_peak, 1)
+        rows.append(r)
+        return r
+
+    # elementwise: add_mod (2 reads + 1 write of 4B)
+    f = jax.jit(lambda a, b: modops.add_mod(a, b, qb))
+    row("add_mod", time_it(f, x, y, iters=iters), bytes_moved=3 * 4 * L * n)
+
+    # mont_mul (the workhorse): same traffic, ~20 VPU ops/element
+    f = jax.jit(lambda a, b: modops.mont_mul(a, b, qb, qinvb))
+    row("mont_mul", time_it(f, x, y, iters=iters), bytes_moved=3 * 4 * L * n)
+
+    # general mul_mod (two REDC passes)
+    f = jax.jit(lambda a, b: modops.mul_mod(a, b, qb, qinvb, r2b))
+    row("mul_mod", time_it(f, x, y, iters=iters), bytes_moved=3 * 4 * L * n)
+
+    # NTT fwd/inv: traffic ~ 3 passes over [L,n] u32 + tables; MXU work =
+    # 2 stages x 16 digit matmuls x n1*n1*n2 MACs per limb
+    macs = L * 2 * 16 * n1 * n1 * n2
+    f = jax.jit(lambda a: ntt_fwd(a, ctx, limbs=np.arange(L)))
+    row("ntt_fwd", time_it(f, x, iters=iters), bytes_moved=6 * 4 * L * n, macs=macs)
+    f = jax.jit(lambda a: ntt_inv(a, ctx, limbs=np.arange(L)))
+    row("ntt_inv", time_it(f, x, iters=iters), bytes_moved=6 * 4 * L * n, macs=macs)
+
+    return rows
+
+
+if __name__ == "__main__":
+    import json
+
+    for r in bench_all(os.environ.get("BENCH_PRESET", "config5_boot")):
+        print(json.dumps(r))
