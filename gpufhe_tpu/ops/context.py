@@ -11,8 +11,8 @@ alongside as a hashable static argument.
 
 NTT table layout (see ops/ntt.py for the transform itself): the negacyclic
 N-point transform is evaluated as a four-step factorization N = n1 * n2 whose
-n1/n2-point DFT matrices are stored as unsigned 8-bit digit planes
-(uint8[L, 4, n, n]) feeding the MXU, with the psi twist, the inter-step
+n1/n2-point DFT matrices are stored as signed 8-bit digit planes
+(int8[L, 4, n, n], see _digits_i8) feeding the MXU, with the psi twist, the inter-step
 twiddles, and the 1/N scaling folded into the tables.
 """
 
@@ -37,11 +37,24 @@ def fourstep_split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def _digits_u8(x: np.ndarray) -> np.ndarray:
-    """uint32[..., a, b] -> uint8[..., 4, a, b] little-endian byte planes."""
+def _digits_i8(x: np.ndarray) -> np.ndarray:
+    """uint32[..., a, b] (values < 2^30) -> int8[..., 4, a, b] signed digits.
+
+    Base-256 digits recoded into [-128, 127] with carry propagation, so
+    sum_t s_t * 2^(8t) == x exactly (the carry out of the top digit is zero
+    for x < 2^30 — guaranteed by the <=30-bit prime discipline). Signed
+    digits are required because the MXU int8 path is exact for s8 x s8 ->
+    s32 while u8 operands are misinterpreted inside Pallas kernels.
+    """
     x = np.asarray(x, dtype=np.uint32)
-    planes = [(x >> (8 * d)) & 0xFF for d in range(4)]
-    return np.stack(planes, axis=-3).astype(np.uint8)
+    assert (x < (1 << 30)).all(), "signed-digit recoding requires values < 2^30"
+    planes = []
+    c = np.zeros_like(x)
+    for t in range(4):
+        v = ((x >> (8 * t)) & 0xFF) + c
+        c = (v > 127).astype(np.uint32)
+        planes.append((v.astype(np.int32) - 256 * c.astype(np.int32)).astype(np.int8))
+    return np.stack(planes, axis=-3)
 
 
 class NTTTables(NamedTuple):
@@ -52,9 +65,9 @@ class NTTTables(NamedTuple):
     followed by a transpose-reshape back to a length-n vector.
     """
 
-    wl_digits: jnp.ndarray  # uint8[L, 4, a, a]
+    wl_digits: jnp.ndarray  # int8[L, 4, a, a] (signed-digit recoding)
     tw_mont: jnp.ndarray  # uint32[L, a, b]   twiddles, Montgomery form
-    wr_digits: jnp.ndarray  # uint8[L, 4, b, b]
+    wr_digits: jnp.ndarray  # int8[L, 4, b, b]
 
 
 class Context(NamedTuple):
@@ -150,12 +163,12 @@ def make_context(params: CKKSParams) -> Context:
         r2s.append(r2)
         digit_monts.append([(1 << (8 * t)) * R % q for t in range(7)])
         (wl, tw, wr), (wli, twi, wri) = _limb_tables(q, psi, n)
-        fwd_wl.append(_digits_u8(wl))
+        fwd_wl.append(_digits_i8(wl))
         fwd_tw.append(_to_mont_np(tw, q))
-        fwd_wr.append(_digits_u8(wr))
-        inv_wl.append(_digits_u8(wli))
+        fwd_wr.append(_digits_i8(wr))
+        inv_wl.append(_digits_i8(wli))
         inv_tw.append(_to_mont_np(twi, q))
-        inv_wr.append(_digits_u8(wri))
+        inv_wr.append(_digits_i8(wri))
 
     u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
     return Context(

@@ -11,10 +11,11 @@ transform is evaluated in four-step (Bailey) form, N = n1 * n2:
 
 i.e. two batched (per-limb) modular matrix multiplies with an elementwise
 twiddle in between, plus one transpose. The n1/n2-point DFT matrices live as
-unsigned byte planes: an exact uint32 modmatmul is 16 uint8 x uint8 -> int32
-MXU matmuls (digit pairs), recombined as sum_t T_t * 2^(8t) mod q with seven
-Montgomery multiplies per element (T_t <= 4 * 255^2 * n2 < 2^31, so the int32
-accumulators never overflow for n2 <= 8192, i.e. N <= 2^26).
+SIGNED byte planes (carry-recoded base-256 digits in [-128, 127], exact for
+residues < 2^30): an exact uint32 modmatmul is 16 int8 x int8 -> int32 MXU
+matmuls (digit pairs), recombined as sum_t T_t * 2^(8t) mod q with seven
+Montgomery multiplies per element (|T_t| <= 4 * 128^2 * n2 < 2^27 for
+n2 <= 2048, far inside int32).
 
 The psi twist (negacyclic wrap), the four-step twiddles, and the 1/N inverse
 scaling are all folded into the precomputed tables (ops/context.py), so a
@@ -45,9 +46,20 @@ _BYTE = jnp.uint32(0xFF)
 
 
 def _to_digits(x: jnp.ndarray) -> jnp.ndarray:
-    """uint32[L, a, b] -> uint8[L, 4, a, b] little-endian byte planes."""
-    planes = [(x >> jnp.uint32(8 * d)) & _BYTE for d in range(4)]
-    return jnp.stack(planes, axis=1).astype(jnp.uint8)
+    """uint32[L, a, b] (values < 2^30) -> int8[L, 4, a, b] signed digits.
+
+    Same recoding as the host-side table build (ops/context.py _digits_i8):
+    base-256 digits carried into [-128, 127]. Signed digits are mandatory —
+    the MXU int8 path is exact for s8 x s8 -> s32, while uint8 operands are
+    misinterpreted as signed inside Pallas kernels.
+    """
+    planes = []
+    c = jnp.zeros_like(x)
+    for t in range(4):
+        v = ((x >> jnp.uint32(8 * t)) & _BYTE) + c
+        c = (v > jnp.uint32(127)).astype(jnp.uint32)
+        planes.append((v.astype(jnp.int32) - (c << jnp.uint32(8)).astype(jnp.int32)))
+    return jnp.stack(planes, axis=1).astype(jnp.int8)
 
 
 def _digit_dot_left(w_digits: jnp.ndarray, x_digits: jnp.ndarray) -> jnp.ndarray:
@@ -71,13 +83,16 @@ def _digit_dot_right(x_digits: jnp.ndarray, w_digits: jnp.ndarray) -> jnp.ndarra
 
 
 def _recombine(s: jnp.ndarray, digit_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
-    """Fold digit-pair partial sums back to residues in [0, q).
+    """Fold signed digit-pair partial sums back to residues in [0, q).
 
-    s: int32[L, 4, a, 4, b] with s >= 0; result[l] = sum_{e,d} s[l,e,:,d,:]
-    * 2^(8(e+d)) mod q[l], evaluated as seven Montgomery multiplies by the
-    precomputed digit_mont[l, t] = 2^(8t) * 2^32 mod q[l].
+    s: int32[L, 4, a, 4, b]; result[l] = sum_{e,d} s[l,e,:,d,:] * 2^(8(e+d))
+    mod q[l], via seven Montgomery multiplies by digit_mont[l, t] =
+    2^(8t) * 2^32 mod q[l]. Each group sum |T_t| <= 4 * 128^2 * n2 < 2^27 <=
+    q, so adding one q makes it a nonnegative representative of the same
+    residue before the (uint32) Montgomery multiply; the canonical result is
+    identical to the unsigned-digit formulation.
     """
-    s = s.astype(jnp.uint32)
+    qi32 = q.astype(jnp.int32)
     acc = None
     for t in range(7):
         tt = None
@@ -85,8 +100,10 @@ def _recombine(s: jnp.ndarray, digit_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndar
             d = t - e
             if 0 <= d < 4:
                 term = s[:, e, :, d, :]
-                tt = term if tt is None else tt + term  # < 2^31: plain adds
-        contrib = mont_mul(tt, digit_mont[:, t, None, None], q, qinv_neg)
+                tt = term if tt is None else tt + term  # |.| < 2^29: exact int32
+        contrib = mont_mul(
+            (tt + qi32).astype(jnp.uint32), digit_mont[:, t, None, None], q, qinv_neg
+        )
         acc = contrib if acc is None else add_mod(acc, contrib, q)
     return acc
 

@@ -6,10 +6,12 @@ absent"). Here parameters are a frozen dataclass plus a preset registry keyed
 by the five BASELINE.json:7-11 milestone configs.
 
 Word-size discipline (BASELINE.json:5 "32-bit limb planes"): every RNS prime
-is odd, NTT-friendly (q = 1 mod 2N) and < 2^31 so that
+is odd, NTT-friendly (q = 1 mod 2N) and < 2^30 so that
   * one residue occupies one uint32 lane,
   * Montgomery REDC with R = 2^32 never overflows,
-  * sums a+b < 2^32 need no carry handling.
+  * sums a+b < 2^32 need no carry handling,
+  * every canonical residue has an exact 4-digit signed-int8 recoding for
+    the MXU NTT matmuls (requires q < 2^30, ops/context.py _digits_i8).
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import math
 
 from gpufhe_tpu.golden.ntt import find_primitive_root_2n, is_prime
 
-MAX_WORD_PRIME = (1 << 31) - 1
+MAX_WORD_PRIME = (1 << 30) - 1
 
 
 def gen_ntt_primes(bits: int, two_n: int, count: int, skip: int = 0) -> list[int]:
@@ -29,7 +31,7 @@ def gen_ntt_primes(bits: int, two_n: int, count: int, skip: int = 0) -> list[int
     `skip` lets different roles (q-chain vs p-chain vs special primes) draw
     disjoint primes from the same size class.
     """
-    assert bits <= 31, "word-size discipline: primes must fit uint32 lanes"
+    assert bits <= 30, "word-size discipline: primes must fit int8-digit recoding"
     primes: list[int] = []
     p = ((1 << bits) - 1) // two_n * two_n + 1
     seen = 0
