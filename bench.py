@@ -3,13 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The headline config is BASELINE.json config 5 scale: N=2^16, L=30 q-primes,
-alpha=5 special primes (dnum=6 hybrid key-switching). The reference publishes
-no numbers (BASELINE.md), so vs_baseline reports the achieved fraction of a
-speed-of-light roofline for this chip, computed from the op's arithmetic
-work: the transform cost is dominated by the digit-decomposed MXU matmuls
-(16 uint8xuint8->int32 [n1,n1]x[n1,n2] products per limb-transform stage).
+alpha=5 special primes (dnum=6 hybrid key-switching). Latency is measured on
+a chain of data-dependent mult steps inside one jit (optimization_barrier
+between steps), so inter-op pipelining cannot hide real latency and per-call
+dispatch overhead is amortized away.
 
-Env overrides: BENCH_PRESET (default config5_boot), BENCH_ITERS.
+The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
+achieved fraction of an HBM speed-of-light estimate for the op: every
+limb-transform streams its polynomial block + its per-limb NTT tables once
+(the fused Pallas kernel keeps all digit partials in VMEM, ops/ntt_pallas.py)
+plus the elementwise MAC/base-conversion passes.
+
+Env overrides: BENCH_PRESET (default config5_boot), BENCH_CHAIN, BENCH_ITERS,
+PEAK_HBM_GBPS.
 """
 
 from __future__ import annotations
@@ -27,10 +33,11 @@ def main():
     from __graft_entry__ import _random_ct, _random_key, _setup
     from gpufhe_tpu.ciphertext.ct import _relin_core, _rescale_core, _tensor_core
     from gpufhe_tpu.ops.context import fourstep_split
-    from gpufhe_tpu.primitives.rns import ks_groups
 
     preset_name = os.environ.get("BENCH_PRESET", "config5_boot")
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    chain = int(os.environ.get("BENCH_CHAIN", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    hbm_bw = float(os.environ.get("PEAK_HBM_GBPS", 819e9))
 
     t0 = time.time()
     params, ctx, level, ksc = _setup(preset_name)
@@ -41,44 +48,54 @@ def main():
     print(f"# setup {time.time() - t0:.1f}s  N={params.n} L={level} "
           f"alpha={params.alpha} dnum={params.dnum}", flush=True)
 
-    @jax.jit
-    def step(a0, a1, b0, b1, ctx, ksc, rlk):
+    def one_mult(a0, a1, b0, b1):
         cs = _tensor_core((a0, a1), (b0, b1), ctx, level)
         c0, c1 = _relin_core(cs, ctx, ksc, rlk, params, level)
         return _rescale_core((c0, c1), ctx, ksc, params, level)
 
+    @jax.jit
+    def step_chain(a0, a1, b0, b1):
+        outs = []
+        for _ in range(chain):
+            r0, r1 = one_mult(a0, a1, b0, b1)
+            outs.append((r0, r1))
+            # data dependency: next iteration's inputs must wait on this one
+            a0, a1, b0, b1 = jax.lax.optimization_barrier((a0, a1, b0, b1, r0))[:4]
+        return outs[-1]
+
     t0 = time.time()
-    out = step(a0, a1, b0, b1, ctx, ksc, rlk)
+    out = step_chain(a0, a1, b0, b1)
     jax.block_until_ready(out)
     print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
     for _ in range(iters):
-        out = step(a0, a1, b0, b1, ctx, ksc, rlk)
+        out = step_chain(a0, a1, b0, b1)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * chain)
     ops_per_s = 1.0 / dt
 
-    # --- speed-of-light roofline (compute-side, int8 MXU) ---
+    # --- HBM speed-of-light estimate ---
     n1, n2 = fourstep_split(params.n)
     alpha, dnum, k = params.alpha, params.dnum, level
-    # limb-transforms per mult: iNTT d2 (k) + dnum NTT(k+alpha) + 2 iNTT(k+alpha)
-    # + 2 NTT(k) + rescale 2 iNTT(k) + 2 NTT(k-1)
+    limb_bytes = params.n * 4
+    # limb-transforms per mult (iNTT d2, dnum modup NTTs, 2 iNTT + 2 NTT in
+    # mod-down, rescale's 2x(iNTT K + NTT K-1))
     n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * k + 2 * (k - 1)
-    # per limb-transform: two digit-matmul stages, 16 uint8 products each
-    macs = n_limb_tf * 2 * 16 * n1 * n1 * n2
-    flops = 2 * macs
-    # v5e/v5p-class int8 peak ~ 394 TOPS; fraction of speed of light
-    peak = float(os.environ.get("BENCH_PEAK_OPS", 394e12))
-    sol_ops_per_s = peak / flops
-    print(f"# {dt*1e3:.2f} ms/mult, NTT-matmul work {flops/1e9:.1f} GFLOP/mult, "
-          f"SoL {sol_ops_per_s:.1f} mult/s", flush=True)
+    # per limb-transform: x in + out + (wl + wr digits + tw) tables
+    tf_traffic = n_limb_tf * (2 * limb_bytes + 4 * n1 * n1 + 4 * n2 * n2 + limb_bytes)
+    # elementwise passes (tensor 3x, MAC 2*dnum, mod-down/rescale ~8) r+w
+    ew_traffic = (3 + 2 * dnum + 8) * 3 * k * limb_bytes
+    sol_s = (tf_traffic + ew_traffic) / hbm_bw
+    print(f"# {dt*1e3:.3f} ms/mult; est. traffic "
+          f"{(tf_traffic+ew_traffic)/1e6:.0f} MB -> HBM SoL {sol_s*1e3:.3f} ms "
+          f"({1/sol_s:.0f} mult/s)", flush=True)
 
     print(json.dumps({
         "metric": f"ckks_mult_relin_rescale_N{params.n}_L{level}",
         "value": round(ops_per_s, 3),
         "unit": "ops/s/chip",
-        "vs_baseline": round(ops_per_s / sol_ops_per_s, 4),
+        "vs_baseline": round(ops_per_s * sol_s, 4),
     }))
 
 

@@ -25,9 +25,11 @@ Bit-exact golden mirror: gpufhe_tpu.golden.arithmetic.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_U16 = jnp.uint32(0xFFFF)
-_S16 = jnp.uint32(16)
+# numpy scalars (not jnp) so Pallas kernels see literals, not captured consts
+_U16 = np.uint32(0xFFFF)
+_S16 = np.uint32(16)
 
 
 def mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +103,7 @@ def barrett_reduce_u32(x, q):
     Uses floor(x/q) ~ mulhi(x, m) with m = floor(2^32 / q); the estimate is
     off by at most one so a single correction step suffices.
     """
-    m = (jnp.uint32(0xFFFFFFFF) // q).astype(jnp.uint32)  # floor((2^32-1)/q)
+    m = (np.uint32(0xFFFFFFFF) // q).astype(jnp.uint32)  # floor((2^32-1)/q)
     quot = mulhi32(x, m)
     r = x - quot * q
     r = jnp.where(r >= q, r - q, r)

@@ -42,7 +42,23 @@ def _norm_limbs(limbs):
     """Allow python lists of limb indices (jax forbids list indexing)."""
     return np.asarray(limbs, dtype=np.int32) if isinstance(limbs, list) else limbs
 
-_BYTE = jnp.uint32(0xFF)
+
+import os
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas kernel on TPU backends; jnp path on CPU (and for tests).
+
+    Override with GPUFHE_PALLAS=0/1.
+    """
+    env = os.environ.get("GPUFHE_PALLAS")
+    if env is not None:
+        return env == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+_BYTE = np.uint32(0xFF)
 
 
 def _to_digits(x: jnp.ndarray) -> jnp.ndarray:
@@ -56,9 +72,9 @@ def _to_digits(x: jnp.ndarray) -> jnp.ndarray:
     planes = []
     c = jnp.zeros_like(x)
     for t in range(4):
-        v = ((x >> jnp.uint32(8 * t)) & _BYTE) + c
-        c = (v > jnp.uint32(127)).astype(jnp.uint32)
-        planes.append((v.astype(jnp.int32) - (c << jnp.uint32(8)).astype(jnp.int32)))
+        v = ((x >> np.uint32(8 * t)) & _BYTE) + c
+        c = (v > np.uint32(127)).astype(jnp.uint32)
+        planes.append((v.astype(jnp.int32) - (c << np.uint32(8)).astype(jnp.int32)))
     return jnp.stack(planes, axis=1).astype(jnp.int8)
 
 
@@ -112,7 +128,21 @@ def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont):
     """Shared four-step core: (WL @ X) * TW @ WR, then transpose.
 
     x_mat: uint32[L, a, b] canonical residues. Returns uint32[L, b, a].
+    Dispatches to the fused Pallas kernel on TPU (ops/ntt_pallas.py, bit-exact
+    with this path); the jnp formulation runs everywhere else.
     """
+    if _use_pallas():
+        from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas
+
+        return fourstep_pallas(
+            x_mat,
+            tables.wl_digits,
+            tables.tw_mont,
+            tables.wr_digits,
+            q[:, 0, 0],
+            qinv_neg[:, 0, 0],
+            digit_mont,
+        )
     s1 = _digit_dot_left(tables.wl_digits, _to_digits(x_mat))
     a_mat = _recombine(s1, digit_mont, q, qinv_neg)
     b_mat = mont_mul(a_mat, tables.tw_mont, q, qinv_neg)

@@ -145,3 +145,28 @@ def test_mxu_ntt_leading_batch_dims():
             [gn.ntt_fwd(x[c, i], primes[i], params.psi[i]) for i in range(L)]
         ).astype(np.uint32)
         assert (got[c] == want).all()
+
+
+def test_pallas_kernel_matches_xla_path():
+    """Fused Pallas four-step (interpret mode on CPU) vs the jnp path."""
+    from gpufhe_tpu.ops.context import fourstep_split
+    from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas
+
+    params = preset("tiny")
+    ctx = make_context(params)
+    primes = params.q_primes + params.p_primes
+    L, n = len(primes), params.n
+    n1, n2 = fourstep_split(n)
+    x = np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd
+
+    want = np.asarray(ntt_fwd(_u32(x), ctx))  # jnp path (CPU backend)
+    t = ctx.ntt_fwd
+    got = np.asarray(
+        fourstep_pallas(
+            _u32(x).reshape(L, n1, n2), t.wl_digits, t.tw_mont, t.wr_digits,
+            ctx.q, ctx.qinv_neg, ctx.digit_mont, interpret=True,
+        )
+    ).reshape(L, n)
+    assert (got == want).all()
