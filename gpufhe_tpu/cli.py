@@ -1,0 +1,121 @@
+"""Command-line interface: bench / kernel roofline / demo / keygen.
+
+The reference has no CLI or entry points at all (SURVEY.md §3 "no __main__").
+
+    python -m gpufhe_tpu.cli bench --preset config5_boot
+    python -m gpufhe_tpu.cli kernels --preset config2_rns
+    python -m gpufhe_tpu.cli demo-logreg --preset tiny2
+    python -m gpufhe_tpu.cli keygen --preset config3_ckks --out keys.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_bench(args):
+    import os
+
+    os.environ.setdefault("BENCH_PRESET", args.preset)
+    sys.path.insert(0, ".")
+    import bench
+
+    bench.main()
+
+
+def _cmd_kernels(args):
+    from gpufhe_tpu.utils.benchkit import bench_all
+
+    for row in bench_all(args.preset):
+        print(json.dumps(row))
+
+
+def _cmd_demo_logreg(args):
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.models.logreg import EncryptedLogReg, rotations_needed
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    ctx = make_context(params)
+    rots = rotations_needed(params.slots)
+    chest = dkeys.keygen(params, np.random.default_rng(0), rotations=tuple(rots))
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    n_feat = 10
+    w = rng.normal(size=n_feat)
+    b = float(rng.normal())
+    x = rng.normal(size=n_feat)
+    model = EncryptedLogReg(be, w, b)
+
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:n_feat] = x
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale,
+    )
+    out = model(ct)
+    got = float(np.real(be.decrypt_decode(out)[0]))
+    want = model.reference(x)
+    print(json.dumps({
+        "demo": "encrypted_logreg",
+        "preset": args.preset,
+        "encrypted_score": round(got, 6),
+        "cleartext_score": round(want, 6),
+        "abs_err": round(abs(got - want), 6),
+    }))
+
+
+def _cmd_keygen(args):
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.params.params import preset
+    from gpufhe_tpu.utils.serialization import save_keychest
+
+    params = preset(args.preset)
+    rots = tuple(int(r) for r in args.rotations.split(",")) if args.rotations else ()
+    chest = dkeys.keygen(
+        params, np.random.default_rng(args.seed), rotations=rots,
+        conjugation=args.conjugation,
+    )
+    save_keychest(args.out, chest)
+    print(json.dumps({"written": args.out, "preset": args.preset, "rotations": rots}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gpufhe_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench", help="headline CKKS mult benchmark")
+    b.add_argument("--preset", default="config5_boot")
+    b.set_defaults(fn=_cmd_bench)
+
+    k = sub.add_parser("kernels", help="per-kernel roofline table")
+    k.add_argument("--preset", default="config5_boot")
+    k.set_defaults(fn=_cmd_kernels)
+
+    d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
+    d.add_argument("--preset", default="ci_small")
+    d.set_defaults(fn=_cmd_demo_logreg)
+
+    g = sub.add_parser("keygen", help="generate + save a key chest")
+    g.add_argument("--preset", default="config3_ckks")
+    g.add_argument("--out", default="keys.npz")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--rotations", default="")
+    g.add_argument("--conjugation", action="store_true")
+    g.set_defaults(fn=_cmd_keygen)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Checkpoint / serialization (SURVEY.md §5: "absent in reference").
+
+State model: (CKKSParams, key material, PRNG seeds) fully determine every
+derived table — contexts and KSContexts are deterministic host precomputes —
+so checkpoints store only params + keys + ciphertext limb arrays as
+compressed npz. Restart-from-keys is the failure-recovery story for long
+multi-host runs (SURVEY.md §5 "failure detection" row).
+
+Formats are plain numpy so golden-side tooling can read them without JAX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+
+from gpufhe_tpu.golden import ckks as gckks
+from gpufhe_tpu.params.params import CKKSParams
+
+
+def params_to_dict(params: CKKSParams) -> dict:
+    return dataclasses.asdict(params)
+
+
+def params_from_dict(d: dict) -> CKKSParams:
+    d = dict(d)
+    d["q_primes"] = tuple(d["q_primes"])
+    d["p_primes"] = tuple(d["p_primes"])
+    return CKKSParams(**d)
+
+
+def save_keychest(path, chest) -> None:
+    """Persist params + golden key material (device mirrors are re-uploaded)."""
+    path = pathlib.Path(path)
+    arrays = {
+        "sk_s": chest.sk.s,
+        "pk_b": chest.pk.b,
+        "pk_a": chest.pk.a,
+        "rlk_b": chest.rlk.b,
+        "rlk_a": chest.rlk.a,
+    }
+    for steps, (gk, _) in chest.galois.items():
+        arrays[f"gk{steps}_b"] = gk.b
+        arrays[f"gk{steps}_a"] = gk.a
+    if chest.conj is not None:
+        arrays["conj_b"] = chest.conj[0].b
+        arrays["conj_a"] = chest.conj[0].a
+    meta = {
+        "params": params_to_dict(chest.params),
+        "rotations": sorted(chest.galois.keys()),
+        "has_conj": chest.conj is not None,
+    }
+    np.savez_compressed(path, __meta__=np.bytes_(json.dumps(meta).encode()), **arrays)
+
+
+def load_keychest(path):
+    """Restore a KeyChest (rebuilds device mirrors from the golden arrays)."""
+    from gpufhe_tpu.keys import keys as dkeys
+
+    z = np.load(pathlib.Path(path))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    params = params_from_dict(meta["params"])
+    sk = gckks.SecretKey(s=z["sk_s"])
+    pk = gckks.PublicKey(b=z["pk_b"], a=z["pk_a"])
+    rlk = gckks.KSKey(b=z["rlk_b"], a=z["rlk_a"])
+    galois = {}
+    for steps in meta["rotations"]:
+        gk = gckks.KSKey(b=z[f"gk{steps}_b"], a=z[f"gk{steps}_a"])
+        galois[steps] = (gk, dkeys.upload_ks_key(gk, params))
+    conj = None
+    if meta["has_conj"]:
+        ck = gckks.KSKey(b=z["conj_b"], a=z["conj_a"])
+        conj = (ck, dkeys.upload_ks_key(ck, params))
+    return dkeys.KeyChest(
+        params=params,
+        sk=sk,
+        pk=pk,
+        rlk=rlk,
+        device_sk=dkeys.upload_secret_key(sk, params),
+        device_pk=dkeys.upload_public_key(pk, params),
+        device_rlk=dkeys.upload_ks_key(rlk, params),
+        galois=galois,
+        conj=conj,
+    )
+
+
+def save_ciphertext(path, ct) -> None:
+    arrays = {f"c{i}": np.asarray(comp) for i, comp in enumerate(ct.c)}
+    meta = {"level": ct.level, "scale": ct.scale, "n_components": len(ct.c)}
+    np.savez_compressed(
+        pathlib.Path(path), __meta__=np.bytes_(json.dumps(meta).encode()), **arrays
+    )
+
+
+def load_ciphertext(path, device: bool = True):
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.ciphertext.ct import Ciphertext
+
+    z = np.load(pathlib.Path(path))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    comps = [z[f"c{i}"] for i in range(meta["n_components"])]
+    if device:
+        comps = [jnp.asarray(c.astype(np.uint32)) for c in comps]
+    return Ciphertext(comps, meta["level"], meta["scale"])
