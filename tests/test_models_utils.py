@@ -1,0 +1,66 @@
+"""Application model (encrypted logreg) + serialization round-trips."""
+
+import numpy as np
+
+from gpufhe_tpu.ciphertext import ct as dct
+from gpufhe_tpu.ciphertext.backend import DeviceBackend
+from gpufhe_tpu.encoding import encoder
+from gpufhe_tpu.keys import keys as dkeys
+from gpufhe_tpu.models.logreg import EncryptedLogReg, rotations_needed
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.params.params import preset
+from gpufhe_tpu.utils import serialization as ser
+
+
+def test_encrypted_logreg_inference():
+    params = preset("ci_small")
+    ctx = make_context(params)
+    rots = rotations_needed(params.slots)
+    chest = dkeys.keygen(params, np.random.default_rng(0), rotations=tuple(rots))
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    n_feat = 10
+    w, b, x = rng.normal(size=n_feat), float(rng.normal()), rng.normal(size=n_feat)
+    model = EncryptedLogReg(be, w, b)
+
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:n_feat] = x
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale,
+    )
+    got = float(np.real(be.decrypt_decode(model(ct))[0]))
+    # tight vs the cubic the circuit computes; loose vs the true sigmoid
+    # (the degree-3 minimax itself carries ~0.06 max error)
+    assert abs(got - model.reference_poly(x)) < 2e-3
+    assert abs(got - model.reference(x)) < 0.1
+
+
+def test_keychest_and_ciphertext_serialization(tmp_path):
+    params = preset("tiny2")
+    ctx = make_context(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(3), rotations=(1,), conjugation=True
+    )
+    ser.save_keychest(tmp_path / "keys.npz", chest)
+    chest2 = ser.load_keychest(tmp_path / "keys.npz")
+    assert chest2.params == params
+    assert (chest2.sk.s == chest.sk.s).all()
+    assert (np.asarray(chest2.device_rlk.b_mont) == np.asarray(chest.device_rlk.b_mont)).all()
+    assert 1 in chest2.galois and chest2.conj is not None
+
+    z = np.random.default_rng(4).normal(size=params.slots) + 0j
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(5), params.scale,
+    )
+    ser.save_ciphertext(tmp_path / "ct.npz", ct)
+    ct2 = ser.load_ciphertext(tmp_path / "ct.npz")
+    assert ct2.level == ct.level and ct2.scale == ct.scale
+    for a, b in zip(ct.c, ct2.c):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    # round-tripped keys + ciphertext still decrypt correctly
+    got = dct.decrypt_decode(ct2, params, chest2.device_sk, ctx)
+    assert np.abs(got - z).max() < 1e-3
