@@ -56,6 +56,7 @@ class CKKSParams:
     scale_bits: int  # log2 of the encoding scale Delta
     sigma: float = 3.2  # discrete gaussian error stddev
     hamming_weight: int = 0  # 0 -> dense uniform ternary secret
+    plain_modulus: int = 0  # BGV plaintext modulus t (prime, t = 1 mod 2N); 0 -> CKKS
 
     def __post_init__(self):
         assert self.n & (self.n - 1) == 0, "ring degree must be a power of two"
@@ -148,6 +149,11 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
     if name == "ci_small":
         return _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+    if name == "bgv_ci":
+        # RNS-BGV at CI scale: exact integer slots mod a 16-bit prime t
+        p = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+        t = gen_ntt_primes(16, 2 * p.n, 1)[0]
+        return dataclasses.replace(p, plain_modulus=t)
     if name == "boot_ci":
         # CI-scale bootstrapping: 14 levels (CtS 1 + EvalMod 10 + StC 1 + margin),
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)

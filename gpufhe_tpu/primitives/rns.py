@@ -69,6 +69,11 @@ class KSContext(NamedTuple):
     # Rescale by q_last (level K -> K-1):
     qlast_mod: jnp.ndarray  # u32[K-1]   q_last mod q_i (canonical)
     qlast_inv_mont: jnp.ndarray  # u32[K-1]   [q_last^{-1}]_{q_i}, Montgomery
+    # BGV-only (zeros for CKKS params): t-corrected ModSwitch constants.
+    # The BGV ModDown correction needs no extra fields — it folds t^{-1} into
+    # p2q_qhatinv and t into p2q_conv (golden/bgv.py mod_down_coeff_bgv).
+    bgv_negtinv_mont: jnp.ndarray  # u32[1]    [-t^{-1}]_{q_last}, Montgomery
+    bgv_t_mont: jnp.ndarray  # u32[K-1]  t mod q_i, Montgomery
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,8 +95,20 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
             jnp.asarray(_mont_np(conv, np.array(qp, dtype=np.int64)[:, None]))
         )
 
-    p2q_qhatinv = _mont_np(grns.qhat_inv(ps), np.array(ps))
-    p2q_conv = _mont_np(grns.conv_matrix(ps, qs), np.array(qs, dtype=np.int64)[:, None])
+    t = params.plain_modulus
+    if t:
+        # BGV: fold t^{-1} into the P-side factors and t into the conv rows so
+        # the SAME mod_down kernel computes the t-corrected division by P
+        p_arr = np.array(ps, dtype=np.int64)
+        tinv_p = np.array([pow(t, -1, p) for p in ps], dtype=np.int64)
+        p2q_qhatinv = _mont_np(grns.qhat_inv(ps) * tinv_p % p_arr, p_arr)
+        q_col = np.array(qs, dtype=np.int64)[:, None]
+        p2q_conv = _mont_np(grns.conv_matrix(ps, qs) * t % q_col, q_col)
+    else:
+        p2q_qhatinv = _mont_np(grns.qhat_inv(ps), np.array(ps))
+        p2q_conv = _mont_np(
+            grns.conv_matrix(ps, qs), np.array(qs, dtype=np.int64)[:, None]
+        )
     import math
 
     big_p = math.prod(ps)
@@ -99,6 +116,12 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
     q_last = qs[-1]
     qlast_mod = [q_last % q for q in qs[:-1]]
     qlast_inv = [pow(q_last, -1, q) for q in qs[:-1]]
+    if t:
+        bgv_negtinv = _mont_np([(-pow(t, -1, q_last)) % q_last], np.array([q_last]))
+        bgv_t = _mont_np([t % q for q in qs[:-1]], np.array(qs[:-1]))
+    else:
+        bgv_negtinv = np.zeros(1, dtype=np.uint32)
+        bgv_t = np.zeros(len(qs) - 1, dtype=np.uint32)
 
     u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
     return KSContext(
@@ -109,6 +132,8 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
         pinv_mont=jnp.asarray(_mont_np(pinv, np.array(qs))),
         qlast_mod=u32(qlast_mod),
         qlast_inv_mont=jnp.asarray(_mont_np(qlast_inv, np.array(qs[:-1]))),
+        bgv_negtinv_mont=jnp.asarray(bgv_negtinv),
+        bgv_t_mont=jnp.asarray(bgv_t),
     )
 
 
@@ -212,3 +237,29 @@ def rescale(
     )
     diff = sub_mod(x_coeff[: k - 1], lifted, q_b)
     return mont_mul(diff, ksc.qlast_inv_mont[:, None], q_b, qinv_b)
+
+
+def bgv_modswitch(
+    x_coeff: jnp.ndarray, params: CKKSParams, level: int, ctx: Context, ksc: KSContext
+) -> jnp.ndarray:
+    """BGV ModSwitch: drop q_last with a correction delta == 0 (mod t).
+
+    out = (x + t * centered([-x * t^{-1}]_{q_last})) / q_last per remaining
+    limb; mirrors golden/bgv.py modswitch_coeff bit-exactly.
+    """
+    k = level
+    q_last_int = int(params.q_primes[k - 1])
+    q_last = ctx.q[k - 1]
+    qinv_last = ctx.qinv_neg[k - 1]
+    last = x_coeff[k - 1]
+    u = mont_mul(last, ksc.bgv_negtinv_mont[0], q_last, qinv_last)
+    q_b, qinv_b = ctx.q[: k - 1][:, None], ctx.qinv_neg[: k - 1][:, None]
+    r = barrett_reduce_u32(u[None, :], q_b)
+    lifted = jnp.where(
+        u[None, :] > jnp.uint32(q_last_int // 2),
+        sub_mod(r, ksc.qlast_mod[:, None], q_b),
+        r,
+    )
+    term = mont_mul(lifted, ksc.bgv_t_mont[:, None], q_b, qinv_b)
+    summed = add_mod(x_coeff[: k - 1], term, q_b)
+    return mont_mul(summed, ksc.qlast_inv_mont[:, None], q_b, qinv_b)

@@ -1,0 +1,113 @@
+"""RNS-BGV: golden exactness + device limb-trace parity (BASELINE "CKKS/BGV").
+
+BGV plaintexts are exact integers mod t, so correctness checks are equality,
+not tolerance. Device ops mirror golden bit-exactly (same contract as CKKS,
+tests/test_pipeline.py).
+"""
+
+import numpy as np
+import pytest
+
+from gpufhe_tpu.ciphertext import bgv as dbgv
+from gpufhe_tpu.golden import bgv as gbgv
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.params.params import preset
+
+
+@pytest.fixture(scope="module")
+def stack():
+    params = preset("bgv_ci")
+    ctx = make_context(params)
+    chest = dbgv.keygen(params, np.random.default_rng(7), rotations=(1,))
+    return params, ctx, chest
+
+
+def _enc_both(params, ctx, chest, z, seed):
+    pt = gbgv.encode(z, params)
+    ct_dev = dbgv.encrypt(pt, params, chest.device_pk, ctx, np.random.default_rng(seed))
+    ct_gold = gbgv.encrypt(pt, params, chest.pk, np.random.default_rng(seed))
+    return ct_dev, ct_gold
+
+
+def _assert_equal(ct_dev, ct_gold):
+    assert ct_dev.level == ct_gold.level
+    assert ct_dev.pt_factor == ct_gold.pt_factor
+    for d, g in zip(ct_dev.c, ct_gold.c):
+        assert (np.asarray(d).astype(np.int64) == g).all()
+
+
+def test_bgv_encrypt_decrypt_exact(stack):
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    z = np.random.default_rng(0).integers(0, t, size=params.n)
+    ct_dev, ct_gold = _enc_both(params, ctx, chest, z, seed=11)
+    _assert_equal(ct_dev, ct_gold)
+    assert (dbgv.decrypt_decode(ct_dev, params, chest.device_sk, ctx) == z % t).all()
+
+
+def test_bgv_add_mul_plain_exact(stack):
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    rng = np.random.default_rng(1)
+    za = rng.integers(0, t, size=params.n)
+    zb = rng.integers(0, t, size=params.n)
+    a_dev, a_gold = _enc_both(params, ctx, chest, za, seed=21)
+    b_dev, b_gold = _enc_both(params, ctx, chest, zb, seed=22)
+
+    s_dev = dbgv.ct_add(a_dev, b_dev, ctx)
+    _assert_equal(s_dev, gbgv.ct_add(a_gold, b_gold, params))
+    assert (dbgv.decrypt_decode(s_dev, params, chest.device_sk, ctx) == (za + zb) % t).all()
+
+    pt_b = gbgv.encode(zb, params)
+    mp_dev = dbgv.ct_mul_plain(
+        a_dev, dbgv.plaintext_to_device(pt_b, params, ctx, a_dev.level), ctx
+    )
+    _assert_equal(mp_dev, gbgv.ct_mul_plain(a_gold, pt_b, params))
+    assert (dbgv.decrypt_decode(mp_dev, params, chest.device_sk, ctx) == za * zb % t).all()
+
+
+def test_bgv_mult_relin_modswitch_limb_trace(stack):
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    rng = np.random.default_rng(2)
+    za = rng.integers(0, t, size=params.n)
+    zb = rng.integers(0, t, size=params.n)
+    a_dev, a_gold = _enc_both(params, ctx, chest, za, seed=31)
+    b_dev, b_gold = _enc_both(params, ctx, chest, zb, seed=32)
+
+    t_dev = dbgv.ct_tensor(a_dev, b_dev, params, ctx)
+    t_gold = gbgv.ct_tensor(a_gold, b_gold, params)
+    _assert_equal(t_dev, t_gold)
+
+    r_dev = dbgv.ct_relinearize(t_dev, params, ctx, chest.device_rlk)
+    r_gold = gbgv.ct_relinearize(t_gold, params, chest.rlk)
+    _assert_equal(r_dev, r_gold)
+
+    m_dev = dbgv.ct_modswitch(r_dev, params, ctx)
+    m_gold = gbgv.ct_modswitch(r_gold, params)
+    _assert_equal(m_dev, m_gold)
+
+    assert (dbgv.decrypt_decode(m_dev, params, chest.device_sk, ctx) == za * zb % t).all()
+
+    # chained second multiply stays exact
+    m2_dev = dbgv.ct_mul(m_dev, m_dev, params, ctx, chest.device_rlk)
+    m2_gold = gbgv.ct_mul(m_gold, m_gold, params, chest.rlk)
+    _assert_equal(m2_dev, m2_gold)
+    want = (za * zb % t) ** 2 % t
+    assert (dbgv.decrypt_decode(m2_dev, params, chest.device_sk, ctx) == want).all()
+
+
+def test_bgv_rotation_exact(stack):
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    z = np.random.default_rng(3).integers(0, t, size=params.n)
+    ct_dev, ct_gold = _enc_both(params, ctx, chest, z, seed=41)
+
+    rot_dev = dbgv.ct_rotate(ct_dev, 1, params, ctx, chest.galois[1][1])
+    rot_gold = gbgv.ct_rotate(ct_gold, 1, params, chest.galois[1][0])
+    _assert_equal(rot_dev, rot_gold)
+
+    perm = gbgv.slot_rotation_perm(params, 1)
+    assert (
+        dbgv.decrypt_decode(rot_dev, params, chest.device_sk, ctx) == (z % t)[perm]
+    ).all()
