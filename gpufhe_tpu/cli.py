@@ -74,6 +74,18 @@ def _cmd_demo_logreg(args):
     }))
 
 
+def _cmd_scaling(args):
+    from gpufhe_tpu.parallel.multihost import weak_scaling_report
+    from gpufhe_tpu.params.params import preset
+
+    shapes = []
+    for spec in args.meshes.split(";"):
+        l, c = spec.split("x")
+        shapes.append((int(l), int(c)))
+    for row in weak_scaling_report(preset(args.preset), shapes, iters=args.iters):
+        print(json.dumps(row))
+
+
 def _cmd_keygen(args):
     from gpufhe_tpu.keys import keys as dkeys
     from gpufhe_tpu.params.params import preset
@@ -104,6 +116,12 @@ def main(argv=None):
     d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
     d.add_argument("--preset", default="ci_small")
     d.set_defaults(fn=_cmd_demo_logreg)
+
+    w = sub.add_parser("scaling", help="sharded-mult scaling report over mesh shapes")
+    w.add_argument("--preset", default="tiny2")
+    w.add_argument("--meshes", default="1x1;1x2;2x2;2x4")
+    w.add_argument("--iters", type=int, default=5)
+    w.set_defaults(fn=_cmd_scaling)
 
     g = sub.add_parser("keygen", help="generate + save a key chest")
     g.add_argument("--preset", default="config3_ckks")

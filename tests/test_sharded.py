@@ -117,3 +117,13 @@ def test_sharded_mult_matches_single_chip(stack, mesh):
     got1 = sh.unshard_ct_component(c1)
     assert (got0 == np.asarray(want.c[0])).all()
     assert (got1 == np.asarray(want.c[1])).all()
+
+
+def test_weak_scaling_report_smoke(stack, mesh):
+    """The scaling harness runs end-to-end on the CPU mesh."""
+    from gpufhe_tpu.parallel.multihost import weak_scaling_report
+
+    params, _, _ = stack
+    rows = weak_scaling_report(params, [(1, 2), (2, 2)], iters=1)
+    assert len(rows) == 2
+    assert all(r["ops_per_s"] > 0 for r in rows)
