@@ -158,3 +158,27 @@ def test_hoisted_rotations_parity(stack):
         _assert_ct_equal(od, og)
         got = dct.decrypt_decode(od, params, chest.device_sk, ctx)
         assert np.abs(got - np.roll(z, -s)).max() < 1e-2
+
+
+def test_batched_mult_matches_per_ciphertext(stack):
+    from gpufhe_tpu.ciphertext import batch as cbatch
+
+    params, ctx, chest = stack
+    rng = np.random.default_rng(8)
+    cts = []
+    for seed in (81, 82, 83):
+        z = _rand_slots(params, rng)
+        ct, _ = _encrypt_both(params, ctx, chest, z, seed=seed)
+        cts.append(ct)
+
+    a = cbatch.stack(cts)
+    b = cbatch.stack(cts[::-1])
+    out = cbatch.ct_mul_batched(a, b, params, ctx, chest.device_rlk)
+    singles = [
+        dct.ct_mul(x, y, params, ctx, chest.device_rlk)
+        for x, y in zip(cts, cts[::-1])
+    ]
+    for got, want in zip(cbatch.unstack(out), singles):
+        assert got.level == want.level
+        for gc, wc in zip(got.c, want.c):
+            assert (np.asarray(gc) == np.asarray(wc)).all()
