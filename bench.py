@@ -55,13 +55,17 @@ def main():
 
     @jax.jit
     def step_chain(a0, a1, b0, b1):
-        outs = []
-        for _ in range(chain):
+        # fori_loop: one compiled mult body, `chain` data-dependent iterations
+        # (barriers tie both outputs into the carry so nothing is DCE'd and
+        # iteration i+1 cannot start before i finishes)
+        def body(_, carry):
+            a0, a1, b0, b1 = carry
             r0, r1 = one_mult(a0, a1, b0, b1)
-            outs.append((r0, r1))
-            # data dependency: next iteration's inputs must wait on this one
-            a0, a1, b0, b1 = jax.lax.optimization_barrier((a0, a1, b0, b1, r0))[:4]
-        return outs[-1]
+            a0 = jax.lax.optimization_barrier((a0, r0))[0]
+            a1 = jax.lax.optimization_barrier((a1, r1))[0]
+            return (a0, a1, b0, b1)
+
+        return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
     t0 = time.time()
     out = step_chain(a0, a1, b0, b1)

@@ -35,11 +35,16 @@ import math
 import numpy as np
 
 from gpufhe_tpu.ciphertext.linalg import BsgsPlan, bsgs_rotations
+from gpufhe_tpu.ciphertext.fftboot import FactoredCtS, FactoredStC, factored_rotations
 from gpufhe_tpu.params.params import CKKSParams
 
 
-def bootstrap_rotations(params: CKKSParams) -> list[int]:
+def bootstrap_rotations(
+    params: CKKSParams, transform: str = "dense", radix_log: int = 3
+) -> list[int]:
     """All Galois rotation steps bootstrapping needs (keygen input)."""
+    if transform == "factored":
+        return factored_rotations(params.slots, radix_log)
     return bsgs_rotations(params.slots)
 
 
@@ -59,35 +64,49 @@ def _embedding_matrix(n: int) -> np.ndarray:
 class Bootstrapper:
     """Precomputes the linear-transform plans and drives the pipeline."""
 
-    def __init__(self, be, r: int = 5, taylor_m: int = 4):
+    def __init__(self, be, r: int = 5, taylor_m: int = 4, transform: str = "dense",
+                 radix_log: int = 3):
         self.be = be
         params: CKKSParams = be.params
         self.params = params
         self.r = r
         self.taylor_m = taylor_m
+        self.transform = transform
         n = params.n
         slots = params.slots
         q0 = params.q_primes[0]
         delta = params.scale
         full = params.num_limbs
 
-        e = _embedding_matrix(n)
-        a = (1.0 / n) * e.conj().T  # [n, slots]
         cts_factor = 2.0 * math.pi * delta / (q0 * 2.0**self.r)
-        a0 = a[:slots] * cts_factor
-        a1 = a[slots:] * cts_factor
-
-        # CtS runs at the full level (right after ModRaise)
-        self.cts0 = BsgsPlan(be, a0, a0.conj(), level=full)
-        self.cts1 = BsgsPlan(be, a1, a1.conj(), level=full)
-
         stc_factor = q0 / (2.0 * math.pi * delta)
-        stc_level = full - 1 - (self.taylor_m + 1 + self.r)
-        assert stc_level >= 2, (
-            f"not enough levels for bootstrap: need >= {self.taylor_m + self.r + 4}"
-        )
-        self.stc0 = BsgsPlan(be, e[:, :slots] * stc_factor, None, level=stc_level)
-        self.stc1 = BsgsPlan(be, e[:, slots:] * stc_factor, None, level=stc_level)
+
+        if transform == "factored":
+            # log-depth sparse-stage transforms (fftboot.py); coefficient
+            # slots travel in bit-reversed order, invisible to EvalMod
+            self.f_cts = FactoredCtS(be, level=full, radix_log=radix_log,
+                                     factor=cts_factor)
+            cts_levels = self.f_cts.levels_used
+            stc_level = full - cts_levels - (self.taylor_m + 1 + self.r)
+            assert stc_level - self.f_cts.levels_used >= 1, "not enough levels"
+            self.f_stc = FactoredStC(be, level=stc_level, radix_log=radix_log,
+                                     factor=stc_factor)
+        else:
+            e = _embedding_matrix(n)
+            a = (1.0 / n) * e.conj().T  # [n, slots]
+            a0 = a[:slots] * cts_factor
+            a1 = a[slots:] * cts_factor
+
+            # CtS runs at the full level (right after ModRaise)
+            self.cts0 = BsgsPlan(be, a0, a0.conj(), level=full)
+            self.cts1 = BsgsPlan(be, a1, a1.conj(), level=full)
+
+            stc_level = full - 1 - (self.taylor_m + 1 + self.r)
+            assert stc_level >= 2, (
+                f"not enough levels for bootstrap: need >= {self.taylor_m + self.r + 4}"
+            )
+            self.stc0 = BsgsPlan(be, e[:, :slots] * stc_factor, None, level=stc_level)
+            self.stc1 = BsgsPlan(be, e[:, slots:] * stc_factor, None, level=stc_level)
 
         # even Taylor coefficients of cos: sum_j (-1)^j z^j / (2j)!, z = x^2
         self.taylor = [
@@ -127,8 +146,11 @@ class Bootstrapper:
             ct = be.drop_to_level(ct, 1)
         raised = be.mod_raise(ct)
 
-        t0 = self.cts0.apply(raised)
-        t1 = self.cts1.apply(raised)
+        if self.transform == "factored":
+            t0, t1 = self.f_cts(raised)
+        else:
+            t0 = self.cts0.apply(raised)
+            t1 = self.cts1.apply(raised)
         shift = -math.pi / 2.0 ** (self.r + 1)
         t0 = be.add_plain(t0, shift)
         t1 = be.add_plain(t1, shift)
@@ -136,6 +158,9 @@ class Bootstrapper:
         y0 = self._evalmod(t0)
         y1 = self._evalmod(t1)
 
+        if self.transform == "factored":
+            lvl = self.f_stc.first_lo.level
+            return self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
         y0 = be.drop_to_level(y0, self.stc0.level)
         y1 = be.drop_to_level(y1, self.stc1.level)
         return be.add(self.stc0.apply(y0), self.stc1.apply(y1))

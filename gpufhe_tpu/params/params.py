@@ -149,6 +149,13 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
     if name == "ci_small":
         return _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+    if name == "fft_ci":
+        # factored-FFT CtS/StC round-trip testing: extra levels for 4 stages
+        return _mk(n=2**8, n_q=8, n_p=2, scale_bits=28)
+    if name == "boot_ci_f":
+        # bootstrap with factored transforms: CtS 2 + EvalMod 10 + StC 2
+        p = _mk(n=2**7, n_q=16, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=16)
     if name == "bgv_ci":
         # RNS-BGV at CI scale: exact integer slots mod a 16-bit prime t
         p = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)

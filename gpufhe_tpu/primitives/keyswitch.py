@@ -59,11 +59,12 @@ def key_switch_core(
 
     qp_q = ctx.q[np.asarray(qp_idx)][:, None]
     qp_qinv = ctx.qinv_neg[np.asarray(qp_idx)][:, None]
-    # batch the dnum raised transforms into ONE call (they share tables)
-    r_all = ntt_fwd(jnp.stack(raised), ctx, limbs=qp_idx)
+    # NOTE: batching the dnum transforms into one vmapped call was measured
+    # SLOWER on-chip (vmap-of-pallas lowers to a serialized loop with extra
+    # copies); the unrolled per-group calls pipeline better.
     acc0 = acc1 = None
-    for d in range(len(raised)):
-        r = r_all[d]
+    for d, r_coeff in enumerate(raised):
+        r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
         t0 = mont_mul(r, ksk.b_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
         t1 = mont_mul(r, ksk.a_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)

@@ -1,0 +1,105 @@
+"""Factored-FFT CoeffToSlot/SlotToCoeff: math + homomorphic round trip +
+full factored bootstrap (the production-scale transform path).
+"""
+
+import numpy as np
+import pytest
+
+from gpufhe_tpu.ciphertext import ct as dct
+from gpufhe_tpu.ciphertext import fftboot as fb
+from gpufhe_tpu.ciphertext.backend import DeviceBackend
+from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+from gpufhe_tpu.encoding import encoder
+from gpufhe_tpu.golden import ckks as gckks
+from gpufhe_tpu.keys import keys as dkeys
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.params.params import preset
+
+
+def _apply_diags(d, x):
+    out = np.zeros(len(x), dtype=np.complex128)
+    for r, dv in d.items():
+        out += dv * np.roll(x, -r)
+    return out
+
+
+@pytest.mark.parametrize("n_s", [8, 64, 512])
+@pytest.mark.parametrize("radix", [1, 3])
+def test_stage_factorization_matches_direct_matrix(n_s, radix):
+    m = 4 * n_s
+    exps = np.empty(n_s, dtype=np.int64)
+    g = 1
+    for j in range(n_s):
+        exps[j] = g
+        g = g * 5 % m
+    f = np.exp(2j * np.pi * (exps[:, None] * np.arange(n_s)[None, :] % m) / m)
+    br = fb.bit_rev_perm(n_s)
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=n_s) + 1j * rng.normal(size=n_s)
+
+    fwd = [fb._fwd_stage_diags(n_s, h, w) for h, w in fb._stage_twiddles(n_s)]
+    v = u[br]
+    for gd in fb.group_stages(fwd, n_s, radix):
+        v = _apply_diags(gd, v)
+    assert np.abs(v - f @ u).max() < 1e-9
+
+    inv = [
+        fb._inv_stage_diags(n_s, h, w)
+        for h, w in reversed(fb._stage_twiddles(n_s))
+    ]
+    w2 = f @ u
+    for gd in fb.group_stages(inv, n_s, radix):
+        w2 = _apply_diags(gd, w2)
+    assert np.abs(w2 - u[br]).max() < 1e-9
+
+
+def test_factored_cts_stc_homomorphic_round_trip():
+    params = preset("fft_ci")
+    ctx = make_context(params)
+    rots = fb.factored_rotations(params.slots, radix_log=4)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(0)
+    n_s = params.slots
+    z = rng.normal(size=n_s) + 1j * rng.normal(size=n_s)
+    pt = encoder.encode(z, params)
+    ct = dct.encrypt(
+        pt, params, chest.device_pk, ctx, np.random.default_rng(1), params.scale
+    )
+
+    cts = fb.FactoredCtS(be, level=params.num_limbs, radix_log=4)
+    lo, hi = cts(ct)
+    m = np.asarray(
+        gckks.crt_compose_centered(pt, params.q_primes), dtype=np.float64
+    ) / params.scale
+    br = fb.bit_rev_perm(n_s)
+    assert np.abs(np.real(be.decrypt_decode(lo)) - m[:n_s][br]).max() < 1e-4
+    assert np.abs(np.real(be.decrypt_decode(hi)) - m[n_s:][br]).max() < 1e-4
+
+    stc = fb.FactoredStC(be, level=be.level(lo), radix_log=4)
+    out = stc(lo, hi)
+    assert np.abs(be.decrypt_decode(out) - z).max() < 1e-3
+
+
+def test_full_bootstrap_factored_transforms():
+    params = preset("boot_ci_f")
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=3)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(be, transform="factored", radix_log=3)
+
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    out = bs(ct)
+    assert out.level >= 2
+    assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
