@@ -110,10 +110,31 @@ def gen_config3_ckks(preset_name: str = "tiny2", seed: int = 103) -> dict:
     }
 
 
+def gen_config4_rotations(preset_name: str = "tiny2", seed: int = 104) -> dict:
+    """Hybrid key-switching with hoisted rotations (BASELINE cfg 4)."""
+    params = preset(preset_name)
+    rng = np.random.default_rng(seed)
+    sk, pk = gckks.keygen(params, rng)
+    gks = {s: gckks.make_galois_key(params, s, sk, rng) for s in (1, 3)}
+    zrng = np.random.default_rng(seed + 1)
+    z = zrng.normal(size=params.slots) + 1j * zrng.normal(size=params.slots)
+    pt = gckks.encode(z, params.scale, params.q_primes, params.n)
+    ct = gckks.encrypt(pt, params, pk, np.random.default_rng(seed + 2), params.scale)
+    outs = gckks.ct_rotate_hoisted(ct, [1, 3], params, gks)
+    return {
+        "seed": np.int64(seed),
+        "preset": np.bytes_(preset_name.encode()),
+        "z": z,
+        "rot1_c0": outs[0].c[0], "rot1_c1": outs[0].c[1],
+        "rot3_c0": outs[1].c[0], "rot3_c1": outs[1].c[1],
+    }
+
+
 GENERATORS = {
     "config1_ntt_60bit": gen_config1_ntt,
     "config2_rns": gen_config2_rns,
     "config3_ckks": gen_config3_ckks,
+    "config4_rotations": gen_config4_rotations,
 }
 
 

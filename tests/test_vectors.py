@@ -77,3 +77,12 @@ def test_config3_device_matches_vectors():
     sk_dev = dkeys.upload_secret_key(sk, params)
     dec = dct.decrypt_to_coeff(s, params, sk_dev, ctx)
     assert (dec == want["decrypt_coeff"]).all()
+
+
+def test_config4_rotation_vectors():
+    got = gv.gen_config4_rotations()
+    want = _load("config4_rotations")
+    for k in want.files:
+        if k in ("seed", "preset", "z"):
+            continue
+        assert (np.asarray(got[k], dtype=np.int64) == want[k]).all(), k
