@@ -475,3 +475,85 @@ def shard_ct_component(x: jnp.ndarray, params: CKKSParams, mesh: Mesh) -> jnp.nd
 def unshard_ct_component(x: jnp.ndarray) -> jnp.ndarray:
     """Eval3d [K, n1, n2] (any sharding) -> natural-order eval [K, N] on host."""
     return eval3d_to_natural(jax.device_get(x))
+
+
+# ---------------------------------------------------------------------------
+# Sharded Galois rotation: eval-domain permutation + group-parallel key switch
+# ---------------------------------------------------------------------------
+
+
+def _perm_lin_e3(g: int, n1: int, n2: int) -> np.ndarray:
+    """Row-major linear gather indices realizing the eval-domain automorphism
+    in the [k1, k2] sharded layout: out.flat[q] = in.flat[lin[q]]."""
+    from gpufhe_tpu.golden.ckks import automorphism_perm_eval
+
+    n = n1 * n2
+    perm = automorphism_perm_eval(g, n)  # natural order: out[k] = in[perm[k]]
+    k1o, k2o = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    src = perm[k2o * n1 + k1o]  # natural eval index feeding out[k1o, k2o]
+    return ((src % n1) * n2 + src // n1).astype(np.int32)  # [n1, n2] row-major
+
+
+def _permute_body(x: jnp.ndarray, lin_local: jnp.ndarray) -> jnp.ndarray:
+    """Apply the automorphism to eval3d blocks [L, n1/C, n2].
+
+    v1 strategy: all_gather the coeff axis (the permutation is global), then
+    each shard gathers its own output rows. Traffic is C x the ciphertext —
+    acceptable for rotation-sparse workloads; a ppermute routing version is
+    the planned optimization.
+    """
+    full = jax.lax.all_gather(x, "coeff", axis=1, tiled=True)  # [L, n1, n2]
+    L, n1, n2 = full.shape
+    out = jnp.take(full.reshape(L, n1 * n2), lin_local.reshape(-1), axis=1)
+    return out.reshape(L, lin_local.shape[0], n2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_rotation(params: CKKSParams, level: int, mesh: Mesh, steps: int):
+    """Compile the sharded rotate-by-`steps` (automorphism + key switch).
+
+    Returns (run, prepare): prepare(galois_key) builds the bundle;
+    run(c0, c1, bundle) on eval3d-sharded components. Bit-exact vs the
+    single-chip ct_rotate.
+    """
+    from gpufhe_tpu.golden.ckks import galois_exponent
+
+    n_limb = mesh.shape["limb"]
+    n1, n2 = fourstep_split(params.n)
+    ctx = make_context(params)
+    k = level
+    qp_idx = np.asarray(qp_indices(params, level))
+    t_q = _ntt_tables_for(ctx, np.arange(k))
+    t_qp = _ntt_tables_for(ctx, qp_idx)
+    lin = jnp.asarray(_perm_lin_e3(galois_exponent(steps, params.n), n1, n2))
+    gmax_static = math.ceil(len(ks_groups(params, level)) / n_limb)
+
+    ct_spec = P(None, "coeff", None)
+
+    def body(c0, c1, lin_local, t_q, t_qp, ks):
+        q = t_q.q[:, None, None]
+        c0g = _permute_body(c0, lin_local)
+        c1g = _permute_body(c1, lin_local)
+        ks0, ks1 = _keyswitch_body(c1g, t_q, t_qp, ks, level, gmax_static)
+        return add_mod(c0g, ks0, q), ks1
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            ct_spec, ct_spec, P("coeff", None),
+            ShardedNTT.spec(), ShardedNTT.spec(), ShardedKS.spec(),
+        ),
+        out_specs=(ct_spec, ct_spec),
+        check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    def prepare(gk: DeviceKSKey):
+        return make_sharded_ks(params, level, gk, n_limb)
+
+    def run(c0, c1, bundle):
+        ks, _ = bundle
+        return jit_fn(c0, c1, lin, t_q, t_qp, ks)
+
+    return run, prepare

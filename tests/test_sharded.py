@@ -127,3 +127,23 @@ def test_weak_scaling_report_smoke(stack, mesh):
     rows = weak_scaling_report(params, [(1, 2), (2, 2)], iters=1)
     assert len(rows) == 2
     assert all(r["ops_per_s"] > 0 for r in rows)
+
+
+def test_sharded_rotation_matches_single_chip(stack, mesh):
+    params, ctx, _ = stack
+    chest = dkeys.keygen(params, np.random.default_rng(9), rotations=(3,))
+    rng = np.random.default_rng(6)
+    z = rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(63), params.scale,
+    )
+    want = dct.ct_rotate(ct, 3, params, ctx, chest.galois_key(3))
+
+    run, prepare = sh.make_sharded_rotation(params, ct.level, mesh, 3)
+    bundle = prepare(chest.galois_key(3))
+    c0 = sh.shard_ct_component(ct.c[0], params, mesh)
+    c1 = sh.shard_ct_component(ct.c[1], params, mesh)
+    o0, o1 = run(c0, c1, bundle)
+    assert (sh.unshard_ct_component(o0) == np.asarray(want.c[0])).all()
+    assert (sh.unshard_ct_component(o1) == np.asarray(want.c[1])).all()
