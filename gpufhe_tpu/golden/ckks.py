@@ -58,7 +58,11 @@ def encode(z: np.ndarray, scale: float, primes: tuple[int, ...], n: int) -> np.n
     k = np.arange(n)
     tw = np.exp(1j * np.pi * k / n)
     m = np.real(np.fft.fft(ev) / n / tw)
-    coeffs = np.rint(m * scale).astype(object)
+    scaled = np.rint(m * scale)
+    if np.abs(scaled).max() < 2**62:  # int64 fast path (same residues)
+        coeffs = scaled.astype(np.int64)
+    else:
+        coeffs = scaled.astype(object)
     return np.stack([(coeffs % q).astype(np.int64) for q in primes])
 
 

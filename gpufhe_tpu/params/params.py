@@ -176,6 +176,11 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**15, n_q=12, n_p=3, scale_bits=28)
     if name == "config5_boot":
         return _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+    if name == "config5_boot_h":
+        # bootstrappable config 5: sparse secret keeps the ModRaise overflow
+        # small enough for the EvalMod sine range
+        p = _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=64)
     raise KeyError(f"unknown preset {name!r}")
 
 
