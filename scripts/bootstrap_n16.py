@@ -8,9 +8,13 @@ Run: python scripts/bootstrap_n16.py   (expects the real chip; slow compile)
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():

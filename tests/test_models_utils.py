@@ -64,3 +64,45 @@ def test_keychest_and_ciphertext_serialization(tmp_path):
     # round-tripped keys + ciphertext still decrypt correctly
     got = dct.decrypt_decode(ct2, params, chest2.device_sk, ctx)
     assert np.abs(got - z).max() < 1e-3
+
+
+def test_device_keygen_functional():
+    """Device-generated keys encrypt/decrypt/multiply/rotate correctly."""
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    chest = device_keygen(params, np.random.default_rng(3), rotations=(1,))
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale,
+    )
+    assert np.abs(dct.decrypt_decode(ct, params, chest.device_sk, ctx) - z).max() < 1e-3
+    prod = dct.ct_mul(ct, ct, params, ctx, chest.device_rlk)
+    assert np.abs(
+        dct.decrypt_decode(prod, params, chest.device_sk, ctx) - z * z
+    ).max() < 1e-2
+    rot = dct.ct_rotate(ct, 1, params, ctx, chest.galois_key(1))
+    assert np.abs(
+        dct.decrypt_decode(rot, params, chest.device_sk, ctx) - np.roll(z, -1)
+    ).max() < 1e-2
+
+
+def test_security_accounting():
+    from gpufhe_tpu.utils.security import check, report, security_level
+
+    p5 = preset("config5_boot")
+    r = report(p5)
+    assert r["security_bits"] >= 128
+    check(p5, 128)
+    # a chain too fat for its ring degree must be rejected
+    import pytest as _pytest
+
+    from gpufhe_tpu.params.params import _mk
+
+    fat = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)  # log QP ~ 230 >> 27
+    assert security_level(fat) == 0
+    with _pytest.raises(ValueError):
+        check(fat)
