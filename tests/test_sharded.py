@@ -147,3 +147,18 @@ def test_sharded_rotation_matches_single_chip(stack, mesh):
     o0, o1 = run(c0, c1, bundle)
     assert (sh.unshard_ct_component(o0) == np.asarray(want.c[0])).all()
     assert (sh.unshard_ct_component(o1) == np.asarray(want.c[1])).all()
+
+
+def test_two_process_distributed_mult():
+    """jax.distributed 2-process run on localhost (SURVEY §4: the multi-host
+    recipe); limb-axis collectives cross the process boundary."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "multihost_test.py"
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=600,
+        env={k: v for k, v in __import__("os").environ.items() if k != "XLA_FLAGS"},
+    )
+    assert "ok=True" in out.stdout, out.stdout + out.stderr
