@@ -191,6 +191,8 @@ class ShardedKS(NamedTuple):
     p_qinv: jnp.ndarray  # u32[alpha]
     qlast_mod: jnp.ndarray  # u32[K-1]
     qlast_inv: jnp.ndarray  # u32[K-1]
+    bgv_negtinv: jnp.ndarray  # u32[1]    BGV ModSwitch (zeros for CKKS)
+    bgv_t: jnp.ndarray  # u32[K-1]
 
     @staticmethod
     def spec():
@@ -200,7 +202,7 @@ class ShardedKS(NamedTuple):
             key_b=P("limb", None, None, "coeff", None),
             key_a=P("limb", None, None, "coeff", None),
             p2q_qhatinv=P(), p2q_conv=P(), pinv=P(), p_q=P(), p_qinv=P(),
-            qlast_mod=P(), qlast_inv=P(),
+            qlast_mod=P(), qlast_inv=P(), bgv_negtinv=P(), bgv_t=P(),
         )
 
 
@@ -291,6 +293,8 @@ def make_sharded_ks(
             p_qinv=ctx.qinv_neg[p_idx],
             qlast_mod=ksc.qlast_mod,
             qlast_inv=ksc.qlast_inv_mont,
+            bgv_negtinv=ksc.bgv_negtinv_mont,
+            bgv_t=ksc.bgv_t_mont,
         ),
         gmax,
     )
@@ -367,9 +371,14 @@ def _keyswitch_body(
 
 def _mult_body(
     a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks: ShardedKS, level: int, gmax: int,
-    q_last_half: int,
+    q_last_half: int, bgv: bool = False,
 ):
-    """tensor -> relinearize -> rescale, all sharded. Blocks are eval3d."""
+    """tensor -> relinearize -> rescale/modswitch, all sharded (eval3d blocks).
+
+    bgv=True switches the final stage to the t-corrected BGV ModSwitch; the
+    key-switch ModDown is BGV-corrected transparently through the tables
+    (primitives/rns.py make_ks_context).
+    """
     q = t_q.q[:, None, None]
     qinv = t_q.qinv[:, None, None]
     r2 = r2_q[:, None, None]
@@ -386,22 +395,37 @@ def _mult_body(
     k = level
     qm = t_qm1.q[:, None, None]
     qminv = t_qm1.qinv[:, None, None]
+    q_last = t_q.q[k - 1]
+    q_last_inv = t_q.qinv[k - 1]
     out = []
     for comp in (c0, c1):
         coeff = ntt_inv_body(comp, t_q)
         last = coeff[k - 1]
-        r = barrett_reduce_u32(last[None], qm)
-        lifted = jnp.where(
-            last[None] > jnp.uint32(q_last_half),
-            sub_mod(r, ks.qlast_mod[:, None, None], qm),
-            r,
-        )
-        down = mont_mul(
-            sub_mod(coeff[: k - 1], lifted, qm),
-            ks.qlast_inv[:, None, None],
-            qm,
-            qminv,
-        )
+        if bgv:
+            # u = [-x t^{-1}]_{q_last}; out = (x + t*centered(u)) / q_last
+            u = mont_mul(last, ks.bgv_negtinv[0], q_last, q_last_inv)
+            r = barrett_reduce_u32(u[None], qm)
+            lifted = jnp.where(
+                u[None] > jnp.uint32(q_last_half),
+                sub_mod(r, ks.qlast_mod[:, None, None], qm),
+                r,
+            )
+            term = mont_mul(lifted, ks.bgv_t[:, None, None], qm, qminv)
+            down = mont_mul(
+                add_mod(coeff[: k - 1], term, qm),
+                ks.qlast_inv[:, None, None], qm, qminv,
+            )
+        else:
+            r = barrett_reduce_u32(last[None], qm)
+            lifted = jnp.where(
+                last[None] > jnp.uint32(q_last_half),
+                sub_mod(r, ks.qlast_mod[:, None, None], qm),
+                r,
+            )
+            down = mont_mul(
+                sub_mod(coeff[: k - 1], lifted, qm),
+                ks.qlast_inv[:, None, None], qm, qminv,
+            )
         out.append(ntt_fwd_body(down, t_qm1))
     return out[0], out[1]
 
@@ -433,10 +457,12 @@ def make_sharded_mult(params: CKKSParams, level: int, mesh: Mesh):
     ct_spec = P(None, "coeff", None)
     gmax_static = math.ceil(len(ks_groups(params, level)) / n_limb)
 
+    bgv = bool(params.plain_modulus)
+
     def body(a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks):
         return _mult_body(
             a0, a1, b0, b1, r2_q, t_q, t_qp, t_qm1, ks, level, gmax_static,
-            q_last_half,
+            q_last_half, bgv,
         )
 
     fn = jax.shard_map(

@@ -162,3 +162,29 @@ def test_two_process_distributed_mult():
         env={k: v for k, v in __import__("os").environ.items() if k != "XLA_FLAGS"},
     )
     assert "ok=True" in out.stdout, out.stdout + out.stderr
+
+
+def test_sharded_bgv_mult_matches_single_chip(mesh):
+    from gpufhe_tpu.ciphertext import bgv as dbgv
+    from gpufhe_tpu.golden import bgv as gbgv
+
+    params = preset("bgv_ci")
+    # bgv_ci is N=2^10 -> n1=n2=32; the 2x4 mesh divides both
+    ctx = make_context(params)
+    chest = dbgv.keygen(params, np.random.default_rng(7))
+    t = params.plain_modulus
+    rng = np.random.default_rng(2)
+    za = rng.integers(0, t, size=params.n)
+    zb = rng.integers(0, t, size=params.n)
+    a = dbgv.encrypt(gbgv.encode(za, params), params, chest.device_pk, ctx,
+                     np.random.default_rng(31))
+    b = dbgv.encrypt(gbgv.encode(zb, params), params, chest.device_pk, ctx,
+                     np.random.default_rng(32))
+    want = dbgv.ct_mul(a, b, params, ctx, chest.device_rlk)
+
+    run, prepare = sh.make_sharded_mult(params, a.level, mesh)
+    bundle = prepare(chest.device_rlk)
+    blocks = [sh.shard_ct_component(c, params, mesh) for c in (a.c + b.c)]
+    c0, c1 = run(*blocks, bundle)
+    assert (sh.unshard_ct_component(c0) == np.asarray(want.c[0])).all()
+    assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
