@@ -90,7 +90,18 @@ def _cyclic_ntt(x: np.ndarray, pw: np.ndarray, stride: int, q: int) -> np.ndarra
 
 
 def ntt_fwd(x, q: int, psi: int) -> np.ndarray:
-    """Negacyclic forward NTT along the last axis (natural order in and out)."""
+    """Negacyclic forward NTT along the last axis (natural order in and out).
+
+    Dispatches to the native C path (golden/native.py) for word sizes < 2^62
+    when a toolchain is available; results are bit-identical (the transform
+    is exact integer arithmetic with a unique answer).
+    """
+    if q < (1 << 62):
+        from gpufhe_tpu.golden.native import ntt_u64
+
+        out = ntt_u64(np.asarray(x, dtype=np.int64) % q, q, psi, inverse=False)
+        if out is not None:
+            return out.astype(np.int64)
     x = np.asarray(x, dtype=_dtype_for(q)) % q
     n = x.shape[-1]
     psi_pows = _power_table(psi, n, q)
@@ -101,6 +112,12 @@ def ntt_fwd(x, q: int, psi: int) -> np.ndarray:
 
 def ntt_inv(X, q: int, psi: int) -> np.ndarray:
     """Negacyclic inverse NTT along the last axis; exact inverse of ntt_fwd."""
+    if q < (1 << 62):
+        from gpufhe_tpu.golden.native import ntt_u64
+
+        out = ntt_u64(np.asarray(X, dtype=np.int64) % q, q, psi, inverse=True)
+        if out is not None:
+            return out.astype(np.int64)
     X = np.asarray(X, dtype=_dtype_for(q)) % q
     n = X.shape[-1]
     omega_inv = pow(int(psi) * int(psi) % q, -1, q)

@@ -116,3 +116,28 @@ def test_ntt_batched_axes():
     batched = gn.ntt_fwd(x, q, psi)
     rows = np.stack([gn.ntt_fwd(r, q, psi) for r in x])
     assert (batched == rows).all()
+
+
+def test_native_ntt_matches_numpy_path():
+    """C golden NTT (csrc/golden_ntt.c) is bit-identical to the numpy path."""
+    from gpufhe_tpu.golden import ntt as gn
+    from gpufhe_tpu.golden.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C toolchain")
+    for n, bits in [(64, 28), (256, 30), (1024, 60)]:
+        two_n = 2 * n
+        p = ((1 << bits) - 1) // two_n * two_n + 1
+        while not gn.is_prime(p):
+            p -= two_n
+        psi = gn.find_primitive_root_2n(p, two_n)
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, min(p, 1 << 62), size=n, dtype=np.int64) % p
+        got = gn.ntt_fwd(x, p, psi)  # native dispatch
+        y = np.asarray(x, dtype=gn._dtype_for(p)) % p
+        pp = gn._power_table(psi, n, p)
+        want = gn._cyclic_ntt((y * pp) % p, gn._power_table(psi * psi % p, n, p), 1, p)
+        assert all(int(a) == int(b) for a, b in zip(got, want))
+        assert (gn.ntt_inv(got, p, psi) == x).all()
