@@ -86,6 +86,52 @@ def _cmd_scaling(args):
         print(json.dumps(row))
 
 
+def _cmd_bootstrap(args):
+    """Run one full CKKS bootstrap at the given preset (device keys)."""
+    import time
+
+    import jax
+
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform=args.transform, radix_log=args.radix)
+    chest = device_keygen(
+        params, np.random.default_rng(args.seed), rotations=tuple(rots),
+        conjugation=True,
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(
+        be, r=args.r, taylor_m=args.taylor_m, transform=args.transform,
+        radix_log=args.radix,
+    )
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    t0 = time.time()
+    out = bs(ct)
+    jax.block_until_ready(out.c)
+    first = time.time() - t0
+    t0 = time.time()
+    out = bs(ct)
+    jax.block_until_ready(out.c)
+    err = float(np.abs(be.decrypt_decode(out) - z).max())
+    print(json.dumps({
+        "bootstrap": args.preset, "steady_s": round(time.time() - t0, 3),
+        "first_s": round(first, 1), "out_level": out.level, "max_err": err,
+    }))
+
+
 def _cmd_keygen(args):
     from gpufhe_tpu.keys import keys as dkeys
     from gpufhe_tpu.params.params import preset
@@ -122,6 +168,15 @@ def main(argv=None):
     w.add_argument("--meshes", default="1x1;1x2;2x2;2x4")
     w.add_argument("--iters", type=int, default=5)
     w.set_defaults(fn=_cmd_scaling)
+
+    bt = sub.add_parser("bootstrap", help="run one full CKKS bootstrap")
+    bt.add_argument("--preset", default="boot_ci_f")
+    bt.add_argument("--transform", default="factored", choices=["dense", "factored"])
+    bt.add_argument("--radix", type=int, default=3)
+    bt.add_argument("--r", type=int, default=5)
+    bt.add_argument("--taylor-m", dest="taylor_m", type=int, default=4)
+    bt.add_argument("--seed", type=int, default=7)
+    bt.set_defaults(fn=_cmd_bootstrap)
 
     g = sub.add_parser("keygen", help="generate + save a key chest")
     g.add_argument("--preset", default="config3_ckks")
