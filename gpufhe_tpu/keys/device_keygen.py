@@ -28,7 +28,7 @@ from gpufhe_tpu.keys.keys import (
     DeviceSecretKey,
 )
 from gpufhe_tpu.ops.context import Context
-from gpufhe_tpu.ops.modops import add_mod, mont_mul, sub_mod, to_mont
+from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, sub_mod, to_mont
 from gpufhe_tpu.ops.ntt import ntt_fwd
 from gpufhe_tpu.params.params import CKKSParams
 
@@ -58,11 +58,35 @@ def _consts(ctx: Context, idx: np.ndarray):
     return q, ctx.qinv_neg[idx][:, None], ctx.r2[idx][:, None]
 
 
+def _uniform_mod_q(key, ctx: Context, idx: np.ndarray, n: int) -> jnp.ndarray:
+    """Device-side uniform residues: 64 random bits reduced mod q per limb.
+
+    (hi*2^32 + lo) mod q via hi*2^32 = mont_mul(hi, R^2 mod q); statistical
+    distance from uniform is < q/2^64 < 2^-34 — fine for benchmark keys; use
+    rejection sampling for certification-grade key material.
+    """
+    import jax
+
+    q, qinv, r2 = _consts(ctx, idx)
+    k1, k2 = jax.random.split(key)
+    shape = (len(idx), n)
+    hi = jax.random.bits(k1, shape, dtype=jnp.uint32)
+    lo = jax.random.bits(k2, shape, dtype=jnp.uint32)
+    return add_mod(mont_mul(hi, r2, q, qinv), barrett_reduce_u32(lo, q), q)
+
+
+def _lift_signed(small: np.ndarray, ctx: Context, idx: np.ndarray) -> jnp.ndarray:
+    """Small signed int32[N] -> canonical residues u32[L, N] on device."""
+    v = jnp.asarray(np.asarray(small, dtype=np.int32))[None, :]
+    q = ctx.q[idx][:, None]
+    return jnp.where(v < 0, q + v.astype(jnp.uint32), v.astype(jnp.uint32))
+
+
 def _ntt_mont(small: np.ndarray, params, ctx, primes, idx) -> jnp.ndarray:
     """Signed small poly -> NTT domain, Montgomery form, device."""
-    rns = np.stack([small % q for q in primes]).astype(np.uint32)
-    x = ntt_fwd(jnp.asarray(rns), ctx, limbs=np.asarray(idx))
-    q, qinv, r2 = _consts(ctx, np.asarray(idx))
+    idx = np.asarray(idx)
+    x = ntt_fwd(_lift_signed(small, ctx, idx), ctx, limbs=idx)
+    q, qinv, r2 = _consts(ctx, idx)
     return to_mont(x, q, qinv, r2)
 
 
@@ -72,24 +96,22 @@ def _make_ks_key(
     s_mont: jnp.ndarray,
     target_mont: jnp.ndarray,
     rng: np.random.Generator,
+    jkey,
 ) -> DeviceKSKey:
     """Gadget rows over the full Q+P chain (device arithmetic)."""
+    import jax
+
     qp = params.q_primes + params.p_primes
     idx = np.arange(len(qp))
     q, qinv, r2 = _consts(ctx, idx)
     factors = gckks.gadget_factors(params)
-    qp_u32 = np.asarray(qp, dtype=np.uint32)
 
     bs, as_ = [], []
     for g in factors:
-        a = jnp.asarray(
-            rng.integers(0, qp_u32[:, None], size=(len(qp), params.n), dtype=np.uint32)
-        )
+        jkey, sub = jax.random.split(jkey)
+        a = _uniform_mod_q(sub, ctx, idx, params.n)
         e_small = gckks.sample_gauss(rng, params.n, params.sigma)
-        e_ntt = ntt_fwd(
-            jnp.asarray(np.stack([e_small % p for p in qp]).astype(np.uint32)),
-            ctx, limbs=idx,
-        )
+        e_ntt = ntt_fwd(_lift_signed(e_small, ctx, idx), ctx, limbs=idx)
         g_rns = jnp.asarray(
             np.asarray([g % p for p in qp], dtype=np.uint32)[:, None]
         )
@@ -125,40 +147,39 @@ def device_keygen(
         s_mont_full, s_mont_full, ctx.q[qp_idx][:, None], ctx.qinv_neg[qp_idx][:, None]
     )
 
-    # public key over the q-chain
+    # public key over the q-chain (device PRNG for the uniform poly)
+    import jax
+
+    jkey = jax.random.key(int(rng.integers(0, 2**63)))
+    jkey, sub = jax.random.split(jkey)
     q_primes = params.q_primes
-    a = jnp.asarray(
-        rng.integers(
-            0, np.asarray(q_primes, dtype=np.uint32)[:, None],
-            size=(len(q_primes), n), dtype=np.uint32,
-        )
-    )
+    a = _uniform_mod_q(sub, ctx, q_idx, n)
     e_small = gckks.sample_gauss(rng, n, params.sigma)
-    e_ntt = ntt_fwd(
-        jnp.asarray(np.stack([e_small % p for p in q_primes]).astype(np.uint32)),
-        ctx, limbs=q_idx,
-    )
+    e_ntt = ntt_fwd(_lift_signed(e_small, ctx, q_idx), ctx, limbs=q_idx)
     s_mont_q = s_mont_full[: len(q_primes)]
     b = sub_mod(e_ntt, mont_mul(a, s_mont_q, qL, qinvL), qL)
     pk = DevicePublicKey(
         b_mont=to_mont(b, qL, qinvL, r2L), a_mont=to_mont(a, qL, qinvL, r2L)
     )
 
-    rlk = _make_ks_key(params, ctx, s_mont_full, s2_mont_full, rng)
+    jkey, sub = jax.random.split(jkey)
+    rlk = _make_ks_key(params, ctx, s_mont_full, s2_mont_full, rng, sub)
 
     galois = {}
     for steps in rotations:
         g = gckks.galois_exponent(steps, n)
         sg = gckks.apply_automorphism_coeff(s, g)
         sg_mont = _ntt_mont(sg, params, ctx, qp, qp_idx)
-        galois[steps] = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng))
+        jkey, sub = jax.random.split(jkey)
+        galois[steps] = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng, sub))
 
     conj = None
     if conjugation:
         g = 2 * n - 1
         sg = gckks.apply_automorphism_coeff(s, g)
         sg_mont = _ntt_mont(sg, params, ctx, qp, qp_idx)
-        conj = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng))
+        jkey, sub = jax.random.split(jkey)
+        conj = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng, sub))
 
     return DeviceKeyChest(
         params=params,
