@@ -106,3 +106,22 @@ def test_security_accounting():
     assert security_level(fat) == 0
     with _pytest.raises(ValueError):
         check(fat)
+
+
+def test_noise_report():
+    from gpufhe_tpu.utils.noise import ckks_noise_report
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(5))
+    z = np.random.default_rng(6).normal(size=params.slots) + 0j
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(7), params.scale,
+    )
+    r = ckks_noise_report(ct, params, chest.device_sk, ctx, z)
+    assert r["bits_clean"] > 10  # fresh ciphertext: most of the scale survives
+    prod = dct.ct_mul(ct, ct, params, ctx, chest.device_rlk)
+    r2 = ckks_noise_report(prod, params, chest.device_sk, ctx, z * z)
+    assert r2["level"] == ct.level - 1
+    assert 0 < r2["bits_clean"] < r["bits_clean"]  # noise grew, still decodable
