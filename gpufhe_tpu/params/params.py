@@ -46,6 +46,44 @@ def gen_ntt_primes(bits: int, two_n: int, count: int, skip: int = 0) -> list[int
     return primes
 
 
+def gen_balanced_ntt_primes(
+    scale_bits: int, two_n: int, count: int, exclude: tuple[int, ...] = ()
+) -> list[int]:
+    """`count` NTT primes nearest to 2^scale_bits from BOTH sides, ordered so
+    that rescales cancel accumulated scale drift.
+
+    At large 2N, primes = 1 mod 2N near a target are sparse; taking them all
+    below the target (gen_ntt_primes) drifts the chain down to ~0.7x, and any
+    squaring level DOUBLES the accumulated log-drift (d' = 2d - e), which
+    overflows the scale after a dozen multiplies (observed at N=2^16
+    bootstrapping). Greedy ordering keeps |d| within one candidate gap.
+
+    Ordering is in DROP order reversed: the returned list's last element is
+    dropped first by rescale.
+    """
+    target = 1 << scale_bits
+    lo, hi = int(target / 1.5), int(target * 1.5)
+    cands = []
+    p = hi // two_n * two_n + 1
+    while p >= lo:
+        if p not in exclude and is_prime(p) and p < (1 << 30):
+            cands.append(p)
+        p -= two_n
+    assert len(cands) >= count, f"only {len(cands)} balanced primes near 2^{scale_bits}"
+    cands.sort(key=lambda q: abs(math.log2(q / target)))
+    cands = cands[: max(count + 4, count)]  # small surplus improves the greedy
+    d = 0.0
+    order = []
+    remaining = list(cands)
+    for _ in range(count):
+        e_target = 2 * d
+        best = min(remaining, key=lambda q: abs(math.log2(q / target) - e_target))
+        remaining.remove(best)
+        d = 2 * d - math.log2(best / target)
+        order.append(best)
+    return list(reversed(order))  # reversed: last element dropped first
+
+
 @dataclasses.dataclass(frozen=True)
 class CKKSParams:
     """Static CKKS parameters. Hashable -> usable as a jit static argument."""
@@ -178,9 +216,17 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
     if name == "config5_boot_h":
         # bootstrappable config 5: sparse secret keeps the ModRaise overflow
-        # small enough for the EvalMod sine range
-        p = _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
-        return dataclasses.replace(p, hamming_weight=64)
+        # small in the EvalMod sine range; BALANCED prime chain so scale
+        # drift stays bounded through the deep multiply chain
+        n = 2**16
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 1)
+        pp = gen_ntt_primes(30, two_n, 5, skip=1)
+        qi = gen_balanced_ntt_primes(28, two_n, 29, exclude=tuple(q0 + pp))
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
+            scale_bits=28, hamming_weight=64,
+        )
     raise KeyError(f"unknown preset {name!r}")
 
 
