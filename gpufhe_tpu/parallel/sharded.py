@@ -257,8 +257,10 @@ def make_sharded_ks(
     )
     ctx = make_context(params)
 
-    kb = _key_eval3d(ksk.b_mont, qp_idx, n1, n2)
-    ka = _key_eval3d(ksk.a_mont, qp_idx, n1, n2)
+    # keys carry the FULL-level gadget rows; only the level's active groups
+    # participate (a truncated level can have fewer groups than key rows)
+    kb = _key_eval3d(ksk.b_mont[:dnum], qp_idx, n1, n2)
+    ka = _key_eval3d(ksk.a_mont[:dnum], qp_idx, n1, n2)
     pad = n_limb * gmax - dnum
     if pad:
         z = jnp.zeros((pad,) + kb.shape[1:], dtype=kb.dtype)
@@ -544,6 +546,17 @@ def make_sharded_rotation(params: CKKSParams, level: int, mesh: Mesh, steps: int
     """
     from gpufhe_tpu.golden.ckks import galois_exponent
 
+    return _make_sharded_galois(params, level, mesh, galois_exponent(steps, params.n))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_conjugation(params: CKKSParams, level: int, mesh: Mesh):
+    """Sharded complex conjugation (the 2N-1 automorphism + key switch)."""
+    return _make_sharded_galois(params, level, mesh, 2 * params.n - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_galois(params: CKKSParams, level: int, mesh: Mesh, g: int):
     n_limb = mesh.shape["limb"]
     n1, n2 = fourstep_split(params.n)
     ctx = make_context(params)
@@ -551,7 +564,7 @@ def make_sharded_rotation(params: CKKSParams, level: int, mesh: Mesh, steps: int
     qp_idx = np.asarray(qp_indices(params, level))
     t_q = _ntt_tables_for(ctx, np.arange(k))
     t_qp = _ntt_tables_for(ctx, qp_idx)
-    lin = jnp.asarray(_perm_lin_e3(galois_exponent(steps, params.n), n1, n2))
+    lin = jnp.asarray(_perm_lin_e3(g, n1, n2))
     gmax_static = math.ceil(len(ks_groups(params, level)) / n_limb)
 
     ct_spec = P(None, "coeff", None)

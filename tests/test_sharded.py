@@ -188,3 +188,41 @@ def test_sharded_bgv_mult_matches_single_chip(mesh):
     c0, c1 = run(*blocks, bundle)
     assert (sh.unshard_ct_component(c0) == np.asarray(want.c[0])).all()
     assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
+
+
+def test_sharded_backend_factored_transform_round_trip(mesh):
+    """fftboot's CtS/StC running entirely on the ShardedBackend: the full
+    sharded linear-transform stack (hoisted rotations, conjugation,
+    plaintext MACs, rescale) over the mesh."""
+    from gpufhe_tpu.ciphertext import fftboot as fb
+    from gpufhe_tpu.golden import ckks as gckks
+    from gpufhe_tpu.parallel.backend import ShardedBackend
+
+    params = preset("fft_ci")
+    ctx = make_context(params)
+    rots = fb.factored_rotations(params.slots, radix_log=4)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = ShardedBackend(params, mesh, chest)
+
+    rng = np.random.default_rng(0)
+    n_s = params.slots
+    z = rng.normal(size=n_s) + 1j * rng.normal(size=n_s)
+    pt = encoder.encode(z, params)
+    ct_single = dct.encrypt(
+        pt, params, chest.device_pk, ctx, np.random.default_rng(1), params.scale
+    )
+    ct = be.from_single(ct_single)
+
+    cts = fb.FactoredCtS(be, level=params.num_limbs, radix_log=4)
+    lo, hi = cts(ct)
+    m = np.asarray(
+        gckks.crt_compose_centered(pt, params.q_primes), dtype=np.float64
+    ) / params.scale
+    br = fb.bit_rev_perm(n_s)
+    assert np.abs(np.real(be.decrypt_decode(lo)) - m[:n_s][br]).max() < 1e-4
+
+    stc = fb.FactoredStC(be, level=be.level(lo), radix_log=4)
+    out = stc(lo, hi)
+    assert np.abs(be.decrypt_decode(out) - z).max() < 1e-3
