@@ -1,0 +1,65 @@
+"""Full CKKS bootstrap running on the ('limb','coeff') mesh (BASELINE cfg 5:
+"sharded over multi-host mesh"). CPU 8-virtual-device validation; the same
+code path runs on a real pod slice via parallel/multihost.py meshes.
+
+Run: python scripts/sharded_bootstrap_test.py
+"""
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+)
+
+import time
+
+import numpy as np
+
+from gpufhe_tpu.ciphertext import ct as dct
+from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+from gpufhe_tpu.encoding import encoder
+from gpufhe_tpu.keys import keys as dkeys
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.parallel import sharded as sh
+from gpufhe_tpu.parallel.backend import ShardedBackend
+from gpufhe_tpu.params.params import preset
+
+
+def main():
+    t0 = time.time()
+    params = preset("boot_ci_f")
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=3)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    mesh = sh.make_fhe_mesh(2, 4, devices=jax.devices()[:8])
+    be = ShardedBackend(params, mesh, chest)
+    bs = Bootstrapper(be, transform="factored", radix_log=3)
+    print(f"# setup {time.time()-t0:.0f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct1 = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    out = bs(be.from_single(ct1))
+    err = float(np.abs(be.decrypt_decode(out) - z).max())
+    print(f"SHARDED_BOOTSTRAP ok={err < 0.01} err={err:.2e} "
+          f"level={out.level} time={time.time()-t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
