@@ -46,6 +46,57 @@ def gen_ntt_primes(bits: int, two_n: int, count: int, skip: int = 0) -> list[int
     return primes
 
 
+def order_primes_for_circuit(
+    cands: list[int], scale_bits: int, ops: list[str], count: int
+) -> list[int]:
+    """Order a prime chain so rescales track the scale through a KNOWN circuit.
+
+    ops (in drop order) describe what consumes each level:
+      'lin'  — plaintext multiply + rescale:        d' = d - e
+      'sq'   — ciphertext square + rescale:         d' = 2d - e
+      'sq_z' — like 'sq' but also records d_z (the Horner operand)
+      'h'    — multiply by the recorded z:          d' = d + d_z - e
+    with d = log2(scale/2^scale_bits) and e = log2(q/2^scale_bits). Greedy
+    picks the remaining prime minimizing |d'| at every step; leftover levels
+    (beyond ops) are filled with the remaining primes balanced by sign.
+
+    Returns the chain segment ordered so its LAST element is dropped first
+    (matching rescale, which drops q_primes[level-1]).
+    """
+    target = float(1 << scale_bits)
+    rem = list(cands)
+    d = 0.0
+    d_z = 0.0
+    drop_order = []
+
+    def e_of(q):
+        return math.log2(q / target)
+
+    for op in ops[:count]:
+        if op == "lin":
+            nxt = lambda q: d - e_of(q)
+        elif op in ("sq", "sq_z"):
+            nxt = lambda q: 2 * d - e_of(q)
+        elif op == "h":
+            nxt = lambda q: d + d_z - e_of(q)
+        else:
+            raise ValueError(op)
+        best = min(rem, key=lambda q: abs(nxt(q)))
+        rem.remove(best)
+        d = nxt(best)
+        if op == "sq_z":
+            d_z = d
+        drop_order.append(best)
+    # leftover levels: keep the running product balanced
+    acc = 0.0
+    while len(drop_order) < count:
+        best = min(rem, key=lambda q: abs(acc + e_of(q)))
+        rem.remove(best)
+        acc += e_of(best)
+        drop_order.append(best)
+    return list(reversed(drop_order))
+
+
 def gen_balanced_ntt_primes(
     scale_bits: int, two_n: int, count: int, exclude: tuple[int, ...] = ()
 ) -> list[int]:
@@ -61,16 +112,9 @@ def gen_balanced_ntt_primes(
     Ordering is in DROP order reversed: the returned list's last element is
     dropped first by rescale.
     """
+    cands = balanced_prime_candidates(scale_bits, two_n, exclude)
     target = 1 << scale_bits
-    lo, hi = int(target / 1.5), int(target * 1.5)
-    cands = []
-    p = hi // two_n * two_n + 1
-    while p >= lo:
-        if p not in exclude and is_prime(p) and p < (1 << 30):
-            cands.append(p)
-        p -= two_n
     assert len(cands) >= count, f"only {len(cands)} balanced primes near 2^{scale_bits}"
-    cands.sort(key=lambda q: abs(math.log2(q / target)))
     cands = cands[: max(count + 4, count)]  # small surplus improves the greedy
     d = 0.0
     order = []
@@ -82,6 +126,22 @@ def gen_balanced_ntt_primes(
         d = 2 * d - math.log2(best / target)
         order.append(best)
     return list(reversed(order))  # reversed: last element dropped first
+
+
+def balanced_prime_candidates(
+    scale_bits: int, two_n: int, exclude: tuple[int, ...] = ()
+) -> list[int]:
+    """NTT primes within 1.5x of 2^scale_bits, nearest first."""
+    target = 1 << scale_bits
+    lo, hi = int(target / 1.5), int(target * 1.5)
+    cands = []
+    p = hi // two_n * two_n + 1
+    while p >= lo:
+        if p not in exclude and is_prime(p) and p < (1 << 30):
+            cands.append(p)
+        p -= two_n
+    cands.sort(key=lambda q: abs(math.log2(q / target)))
+    return cands
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,7 +282,12 @@ def preset(name: str) -> CKKSParams:
         two_n = 2 * n
         q0 = gen_ntt_primes(30, two_n, 1)
         pp = gen_ntt_primes(30, two_n, 5, skip=1)
-        qi = gen_balanced_ntt_primes(28, two_n, 29, exclude=tuple(q0 + pp))
+        cands = balanced_prime_candidates(28, two_n, exclude=tuple(q0 + pp))
+        # op sequence of the factored bootstrap at radix_log=2, r=8, m=3
+        # (scripts/bootstrap_n16.py): 8 CtS stages, EvalMod (x^2, const,
+        # 2 Horner, 8 doublings), 8 StC stages
+        ops = (["lin"] * 8 + ["sq_z", "lin", "h", "h"] + ["sq"] * 8 + ["lin"] * 8)
+        qi = order_primes_for_circuit(cands, 28, ops, 29)
         return CKKSParams(
             n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
             scale_bits=28, hamming_weight=64,
