@@ -247,6 +247,9 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
     if name == "ci_small":
         return _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+    if name == "fft_ci_small":
+        # smallest factored-transform context (sharded-backend CI)
+        return _mk(n=2**7, n_q=6, n_p=2, scale_bits=28)
     if name == "fft_ci":
         # factored-FFT CtS/StC round-trip testing: extra levels for 4 stages
         return _mk(n=2**8, n_q=8, n_p=2, scale_bits=28)

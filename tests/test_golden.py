@@ -141,3 +141,52 @@ def test_native_ntt_matches_numpy_path():
         want = gn._cyclic_ntt((y * pp) % p, gn._power_table(psi * psi % p, n, p), 1, p)
         assert all(int(a) == int(b) for a, b in zip(got, want))
         assert (gn.ntt_inv(got, p, psi) == x).all()
+
+
+def test_circuit_aware_prime_ordering_bounds_drift():
+    """order_primes_for_circuit keeps scale drift tiny through a deep mixed
+    circuit (the failure mode that broke N=2^16 bootstrapping)."""
+    import math
+
+    from gpufhe_tpu.params.params import (
+        balanced_prime_candidates,
+        order_primes_for_circuit,
+    )
+
+    two_n = 2**17
+    cands = balanced_prime_candidates(28, two_n)
+    ops = ["lin"] * 8 + ["sq_z", "lin", "h", "h"] + ["sq"] * 8 + ["lin"] * 8
+    chain = order_primes_for_circuit(cands, 28, ops, 29)
+    es = {q: math.log2(q / 2.0**28) for q in chain}
+    d = dz = 0.0
+    worst = 0.0
+    for op, q in zip(ops, reversed(chain)):
+        e = es[q]
+        if op == "lin":
+            d = d - e
+        elif op in ("sq", "sq_z"):
+            d = 2 * d - e
+        else:
+            d = d + dz - e
+        if op == "sq_z":
+            dz = d
+        worst = max(worst, abs(d))
+    assert worst < 0.3, worst
+    # naive descending chain blows up instead
+    from gpufhe_tpu.params.params import gen_ntt_primes
+
+    naive = gen_ntt_primes(28, two_n, 29)
+    d = dz = 0.0
+    worst_naive = 0.0
+    for op, q in zip(ops, reversed(naive)):
+        e = math.log2(q / 2.0**28)
+        if op == "lin":
+            d = d - e
+        elif op in ("sq", "sq_z"):
+            d = 2 * d - e
+        else:
+            d = d + dz - e
+        if op == "sq_z":
+            dz = d
+        worst_naive = max(worst_naive, abs(d))
+    assert worst_naive > 5.0  # the observed catastrophic drift

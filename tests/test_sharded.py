@@ -198,9 +198,9 @@ def test_sharded_backend_factored_transform_round_trip(mesh):
     from gpufhe_tpu.golden import ckks as gckks
     from gpufhe_tpu.parallel.backend import ShardedBackend
 
-    params = preset("fft_ci")
+    params = preset("fft_ci_small")
     ctx = make_context(params)
-    rots = fb.factored_rotations(params.slots, radix_log=4)
+    rots = fb.factored_rotations(params.slots, radix_log=3)
     chest = dkeys.keygen(
         params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
     )
@@ -215,7 +215,7 @@ def test_sharded_backend_factored_transform_round_trip(mesh):
     )
     ct = be.from_single(ct_single)
 
-    cts = fb.FactoredCtS(be, level=params.num_limbs, radix_log=4)
+    cts = fb.FactoredCtS(be, level=params.num_limbs, radix_log=3)
     lo, hi = cts(ct)
     m = np.asarray(
         gckks.crt_compose_centered(pt, params.q_primes), dtype=np.float64
@@ -223,6 +223,6 @@ def test_sharded_backend_factored_transform_round_trip(mesh):
     br = fb.bit_rev_perm(n_s)
     assert np.abs(np.real(be.decrypt_decode(lo)) - m[:n_s][br]).max() < 1e-4
 
-    stc = fb.FactoredStC(be, level=be.level(lo), radix_log=4)
+    stc = fb.FactoredStC(be, level=be.level(lo), radix_log=3)
     out = stc(lo, hi)
     assert np.abs(be.decrypt_decode(out) - z).max() < 1e-3
