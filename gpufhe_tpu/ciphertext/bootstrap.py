@@ -65,18 +65,43 @@ class Bootstrapper:
     """Precomputes the linear-transform plans and drives the pipeline."""
 
     def __init__(self, be, r: int = 5, taylor_m: int = 4, transform: str = "dense",
-                 radix_log: int = 3):
+                 radix_log: int = 3, evalmod: str = "cos", k_bound: float = 12.0,
+                 cheb_baby_log: int = 3):
+        """evalmod="cos": Taylor cos + r double-angle steps (amplifies input
+        noise by 2^r — fine at CI scale). evalmod="cheb": direct Chebyshev
+        sine evaluation (polyeval.py) — no noise amplification; the
+        production choice. k_bound bounds |u|/q0 (the ModRaise overflow)."""
         self.be = be
         params: CKKSParams = be.params
         self.params = params
         self.r = r
         self.taylor_m = taylor_m
         self.transform = transform
+        self.evalmod = evalmod
+        self.k_bound = k_bound
+        self.cheb_baby_log = cheb_baby_log
         n = params.n
         slots = params.slots
         q0 = params.q_primes[0]
         delta = params.scale
         full = params.num_limbs
+        self._radix_log = radix_log
+        self._stc_factor = q0 / (2.0 * math.pi * delta)
+
+        if evalmod == "cheb":
+            # slots after CtS = u / (q0 k_bound) in [-1, 1]
+            cts_factor = delta / (q0 * k_bound)
+            assert transform == "factored", "cheb EvalMod pairs with factored CtS"
+            self.f_cts = FactoredCtS(be, level=full, radix_log=radix_log,
+                                     factor=cts_factor)
+            from gpufhe_tpu.ciphertext.polyeval import ChebyshevEvaluator, sine_coeffs
+
+            self._cheb = ChebyshevEvaluator(
+                be, sine_coeffs(k_bound), baby_log=cheb_baby_log
+            )
+            self.f_stc = None  # built lazily once the EvalMod depth is known
+            self.taylor = []
+            return
 
         cts_factor = 2.0 * math.pi * delta / (q0 * 2.0**self.r)
         stc_factor = q0 / (2.0 * math.pi * delta)
@@ -145,6 +170,17 @@ class Bootstrapper:
         if be.level(ct) > 1:
             ct = be.drop_to_level(ct, 1)
         raised = be.mod_raise(ct)
+
+        if self.evalmod == "cheb":
+            t0, t1 = self.f_cts(raised)
+            y0 = self._cheb(t0)
+            y1 = self._cheb(t1)
+            if self.f_stc is None:
+                self.f_stc = FactoredStC(
+                    be, level=be.level(y0), radix_log=self._radix_log,
+                    factor=self._stc_factor,
+                )
+            return self.f_stc(y0, y1)
 
         if self.transform == "factored":
             t0, t1 = self.f_cts(raised)

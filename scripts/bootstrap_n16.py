@@ -45,7 +45,9 @@ def main():
 
     be = DeviceBackend(params, ctx, chest)
     t0 = time.time()
-    bs = Bootstrapper(be, r=8, taylor_m=3, transform="factored", radix_log=radix)
+    bs = Bootstrapper(
+        be, transform="factored", radix_log=radix, evalmod="cheb", k_bound=12.0
+    )
     print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(0)
