@@ -257,6 +257,10 @@ def preset(name: str) -> CKKSParams:
         # bootstrap with factored transforms: CtS 2 + EvalMod 10 + StC 2
         p = _mk(n=2**7, n_q=16, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
+    if name == "boot_ci_cheb":
+        # Chebyshev-EvalMod bootstrap CI: CtS 2 + cheb ~7 + StC 2 levels
+        p = _mk(n=2**7, n_q=13, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=16)
     if name == "bgv_ci":
         # RNS-BGV at CI scale: exact integer slots mod a 16-bit prime t
         p = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)

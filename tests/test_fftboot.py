@@ -103,3 +103,50 @@ def test_full_bootstrap_factored_transforms():
     out = bs(ct)
     assert out.level >= 2
     assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
+
+
+def test_chebyshev_evaluator():
+    """polyeval: BSGS Chebyshev sine on ciphertexts (the production EvalMod
+    kernel) — moderate degree, exact-scale landing."""
+    from gpufhe_tpu.ciphertext.polyeval import ChebyshevEvaluator, sine_coeffs
+
+    params = preset("boot_ci_cheb")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(7))
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+
+    be = DeviceBackend(params, ctx, chest)
+    rng = np.random.default_rng(0)
+    y = rng.uniform(-1, 1, size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(y + 0j, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale,
+    )
+    k = 2.5
+    out = ChebyshevEvaluator(be, sine_coeffs(k), baby_log=3)(ct)
+    got = np.real(be.decrypt_decode(out))
+    assert np.abs(got - np.sin(2 * np.pi * k * y)).max() < 1e-3
+
+
+def test_full_bootstrap_chebyshev_evalmod():
+    """Factored transforms + Chebyshev EvalMod: the production bootstrap
+    composition (no 2^r noise amplification)."""
+    params = preset("boot_ci_cheb")
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=3)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(
+        be, transform="factored", radix_log=3, evalmod="cheb", k_bound=5.0
+    )
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    out = bs(ct)
+    assert out.level >= 2
+    assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
