@@ -41,10 +41,30 @@ class DeviceBackend:
         self.chest = chest
         self._ct = dct
         self._enc = encoder
+        self._const_cache = {}  # (value, scale, level) -> encoded plaintext
 
     # -- plaintext handling -------------------------------------------------
     def encode_slots(self, z, scale: float, level: int):
-        """complex[slots] -> device NTT-domain Montgomery plaintext [level, N]."""
+        """complex[slots] -> device NTT-domain Montgomery plaintext [level, N].
+
+        Uniform-constant vectors are cached (polynomial evaluators re-encode
+        the same constants every call; each encode costs a host FFT + device
+        NTT, which dominated bootstrap steady-state time at N=2^16).
+        """
+        z = np.asarray(z)
+        if z.ndim == 0 or (z.ndim == 1 and z.size and (z == z.flat[0]).all()):
+            key = (complex(z.flat[0] if z.ndim else z), float(scale), level)
+            hit = self._const_cache.get(key)
+            if hit is None:
+                zz = np.broadcast_to(
+                    np.complex128(key[0]), (self.params.slots,)
+                )
+                hit = self._encode_uncached(zz, scale, level)
+                self._const_cache[key] = hit
+            return hit
+        return self._encode_uncached(z, scale, level)
+
+    def _encode_uncached(self, z, scale: float, level: int):
         pt = gckks.encode(
             np.asarray(z, dtype=np.complex128),
             scale,

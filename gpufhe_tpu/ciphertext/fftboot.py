@@ -176,13 +176,21 @@ class FactoredCtS:
             _inv_stage_diags(n_s, h, w) for h, w in reversed(_stage_twiddles(n_s))
         ]  # inverse transform applies stages largest-h first
         groups = group_stages(fwd, n_s, radix_log)
+        # spread |factor| geometrically over ALL stages: tiny factors folded
+        # into one stage make its entries quantize badly at scale Delta
+        # (dominant CtS noise at N=2^16); per-stage O(1) entries fix it
+        mag = abs(factor) ** (1.0 / len(groups))
+        phase = factor / abs(factor) if factor != 0 else 1.0
         self.shared = [
-            DiagPlan(be, g, level - i) for i, g in enumerate(groups[:-1])
+            DiagPlan(be, scale_diags(g, mag), level - i)
+            for i, g in enumerate(groups[:-1])
         ]
         last_level = level - (len(groups) - 1)
-        self.last_re = DiagPlan(be, scale_diags(groups[-1], factor / 2), last_level)
+        self.last_re = DiagPlan(
+            be, scale_diags(groups[-1], mag * phase / 2), last_level
+        )
         self.last_im = DiagPlan(
-            be, scale_diags(groups[-1], -1j * factor / 2), last_level
+            be, scale_diags(groups[-1], -1j * mag * phase / 2), last_level
         )
         self.be = be
         self.levels_used = len(groups)
@@ -207,10 +215,13 @@ class FactoredStC:
         n_s = be.params.slots
         fwd = [_fwd_stage_diags(n_s, h, w) for h, w in _stage_twiddles(n_s)]
         groups = group_stages(fwd, n_s, radix_log)
-        self.first_lo = DiagPlan(be, scale_diags(groups[0], factor), level)
-        self.first_hi = DiagPlan(be, scale_diags(groups[0], 1j * factor), level)
+        mag = abs(factor) ** (1.0 / len(groups))
+        phase = factor / abs(factor) if factor != 0 else 1.0
+        self.first_lo = DiagPlan(be, scale_diags(groups[0], mag * phase), level)
+        self.first_hi = DiagPlan(be, scale_diags(groups[0], 1j * mag * phase), level)
         self.rest = [
-            DiagPlan(be, g, level - 1 - i) for i, g in enumerate(groups[1:])
+            DiagPlan(be, scale_diags(g, mag), level - 1 - i)
+            for i, g in enumerate(groups[1:])
         ]
         self.be = be
         self.levels_used = len(groups)
