@@ -117,13 +117,29 @@ class DeviceBackend:
 
     def mul(self, a, b):
         a, b = self._align(a, b)
-        return self._ct.ct_mul(a, b, self.params, self.ctx, self.chest.device_rlk)
+        t = self._ct.ct_tensor(a, b, self.ctx)
+        r = self._ct.ct_relinearize(t, self.params, self.ctx, self.chest.device_rlk)
+        for _ in range(self.params.scale_words):
+            r = self._ct.ct_rescale(r, self.params, self.ctx)
+        return r
 
     def mod_raise(self, ct):
+        if self.params.scale_words == 2:
+            return self._ct.ct_mod_raise2(ct, self.params, self.ctx)
         return self._ct.ct_mod_raise(ct, self.params, self.ctx)
 
     def rescale(self, ct):
-        return self._ct.ct_rescale(ct, self.params, self.ctx)
+        for _ in range(self.params.scale_words):
+            ct = self._ct.ct_rescale(ct, self.params, self.ctx)
+        return ct
+
+    def rescale_prod(self, level: int) -> float:
+        """Product of the primes a rescale from `level` divides by."""
+        w = self.params.scale_words
+        out = 1.0
+        for i in range(w):
+            out *= self.params.q_primes[level - 1 - i]
+        return out
 
     def rotate_hoisted(self, ct, steps_list):
         gks = {s: self.chest.galois_key(s) for s in steps_list}
@@ -197,13 +213,26 @@ class GoldenBackend:
 
     def mul(self, a, b):
         a, b = self._align(a, b)
-        return gckks.ct_mul(a, b, self.params, self.chest.rlk)
+        t = gckks.ct_tensor(a, b, self.params)
+        r = gckks.ct_relinearize(t, self.params, self.chest.rlk)
+        for _ in range(self.params.scale_words):
+            r = gckks.ct_rescale(r, self.params)
+        return r
 
     def mod_raise(self, ct):
         return gckks.ct_mod_raise(ct, self.params)
 
     def rescale(self, ct):
-        return gckks.ct_rescale(ct, self.params)
+        for _ in range(self.params.scale_words):
+            ct = gckks.ct_rescale(ct, self.params)
+        return ct
+
+    def rescale_prod(self, level: int) -> float:
+        w = self.params.scale_words
+        out = 1.0
+        for i in range(w):
+            out *= self.params.q_primes[level - 1 - i]
+        return out
 
     def rotate_hoisted(self, ct, steps_list):
         gks = {s: self.chest.golden_galois_key(s) for s in steps_list}

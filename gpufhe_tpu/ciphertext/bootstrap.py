@@ -82,7 +82,8 @@ class Bootstrapper:
         self.cheb_baby_log = cheb_baby_log
         n = params.n
         slots = params.slots
-        q0 = params.q_primes[0]
+        # composite base modulus for scale_words > 1 (double-word scale)
+        q0 = math.prod(params.q_primes[: params.scale_words])
         delta = params.scale
         full = params.num_limbs
         self._radix_log = radix_log
@@ -167,8 +168,9 @@ class Bootstrapper:
     # -- full pipeline ------------------------------------------------------
     def __call__(self, ct):
         be = self.be
-        if be.level(ct) > 1:
-            ct = be.drop_to_level(ct, 1)
+        w = self.params.scale_words
+        if be.level(ct) > w:
+            ct = be.drop_to_level(ct, w)
         raised = be.mod_raise(ct)
 
         if self.evalmod == "cheb":

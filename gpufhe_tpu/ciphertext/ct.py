@@ -385,3 +385,63 @@ def ct_mod_raise(ct: Ciphertext, params: CKKSParams, ctx: Context) -> Ciphertext
     assert ct.level == 1 and len(ct.c) == 2
     new = list(_mod_raise_core(tuple(ct.c), ctx, params))
     return Ciphertext(new, params.num_limbs, ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# Double-word ModRaise: composite base modulus Q0 = q0*q1 (scale_words == 2)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dw_modraise_consts(params: CKKSParams):
+    import math as _math
+
+    from gpufhe_tpu.primitives.rns import _mont_np
+
+    q0, q1 = params.q_primes[0], params.q_primes[1]
+    big = q0 * q1
+    primes = np.asarray(params.q_primes, dtype=np.uint64)
+    return (
+        jnp.asarray(_mont_np([pow(q0, -1, q1)], np.asarray([q1]))),  # q0^-1 (mont, mod q1)
+        jnp.uint32((big // 2) // q0),  # half1
+        jnp.uint32((big // 2) % q0),  # rem
+        jnp.asarray(
+            _mont_np(np.asarray([q0 % int(p) for p in primes]), primes)
+        ),  # q0 mod q_i (mont)
+        jnp.asarray(np.asarray([big % int(p) for p in primes], dtype=np.uint32)),  # Q0 mod q_i
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _mod_raise2_core(cs, ctx, params):
+    """Centered CRT lift from (q0, q1) into the full chain, bit-exact vs
+    golden ct_mod_raise (same centering rule: v > Q0//2 <-> t > half1 or
+    (t == half1 and x0 > rem), all in exact uint32 comparisons)."""
+    from gpufhe_tpu.ops.modops import barrett_reduce_u32
+
+    level = params.num_limbs
+    q0inv_m, half1, rem, q0_mod_m, big_mod = _dw_modraise_consts(params)
+    q = ctx.q[:level][:, None]
+    qinv = ctx.qinv_neg[:level][:, None]
+    q1_s = ctx.q[1]
+    q1inv_s = ctx.qinv_neg[1]
+    out = []
+    for comp in cs:
+        coeff = ntt_inv(comp, ctx, limbs=[0, 1])  # u32[2, N]
+        x0, x1 = coeff[0], coeff[1]
+        x0m1 = barrett_reduce_u32(x0, q1_s)
+        diff = sub_mod(x1, x0m1, q1_s)
+        t = mont_mul(diff, q0inv_m[0], q1_s, q1inv_s)  # canonical mod q1
+        cond = (t > half1) | ((t == half1) & (x0 > rem))
+        a = barrett_reduce_u32(x0[None, :], q)
+        b = barrett_reduce_u32(t[None, :], q)
+        v0 = add_mod(a, mont_mul(b, q0_mod_m[:, None], q, qinv), q)
+        v = jnp.where(cond[None, :], sub_mod(v0, big_mod[:, None], q), v0)
+        out.append(ntt_fwd(v, ctx, limbs=list(range(level))))
+    return tuple(out)
+
+
+def ct_mod_raise2(ct: Ciphertext, params: CKKSParams, ctx: Context) -> Ciphertext:
+    assert ct.level == 2 and len(ct.c) == 2
+    new = list(_mod_raise2_core(tuple(ct.c), ctx, params))
+    return Ciphertext(new, params.num_limbs, ct.scale)

@@ -181,11 +181,12 @@ class FactoredCtS:
         # (dominant CtS noise at N=2^16); per-stage O(1) entries fix it
         mag = abs(factor) ** (1.0 / len(groups))
         phase = factor / abs(factor) if factor != 0 else 1.0
+        w = be.params.scale_words
         self.shared = [
-            DiagPlan(be, scale_diags(g, mag), level - i)
+            DiagPlan(be, scale_diags(g, mag), level - i * w)
             for i, g in enumerate(groups[:-1])
         ]
-        last_level = level - (len(groups) - 1)
+        last_level = level - (len(groups) - 1) * w
         self.last_re = DiagPlan(
             be, scale_diags(groups[-1], mag * phase / 2), last_level
         )
@@ -193,7 +194,7 @@ class FactoredCtS:
             be, scale_diags(groups[-1], -1j * mag * phase / 2), last_level
         )
         self.be = be
-        self.levels_used = len(groups)
+        self.levels_used = len(groups) * w
 
     def __call__(self, ct):
         be = self.be
@@ -217,14 +218,15 @@ class FactoredStC:
         groups = group_stages(fwd, n_s, radix_log)
         mag = abs(factor) ** (1.0 / len(groups))
         phase = factor / abs(factor) if factor != 0 else 1.0
+        w = be.params.scale_words
         self.first_lo = DiagPlan(be, scale_diags(groups[0], mag * phase), level)
         self.first_hi = DiagPlan(be, scale_diags(groups[0], 1j * mag * phase), level)
         self.rest = [
-            DiagPlan(be, scale_diags(g, mag), level - 1 - i)
+            DiagPlan(be, scale_diags(g, mag), level - (1 + i) * w)
             for i, g in enumerate(groups[1:])
         ]
         self.be = be
-        self.levels_used = len(groups)
+        self.levels_used = len(groups) * w
 
     def __call__(self, ct_lo, ct_hi):
         be = self.be

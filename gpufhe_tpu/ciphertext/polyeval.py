@@ -42,12 +42,18 @@ def _ones(be):
     return np.ones(be.params.slots, dtype=np.complex128)
 
 
+def _rescale_prod(be, from_level: int) -> float:
+    if hasattr(be, "rescale_prod"):
+        return be.rescale_prod(from_level)
+    return float(be.params.q_primes[from_level - 1])
+
+
 def _align_to(be, ct, scale: float, level: int):
     """Bring ct to exactly (scale, level): one const-multiply + rescale."""
-    assert ct.level >= level + 1, (ct.level, level)
-    ct = be.drop_to_level(ct, level + 1)
-    q_next = be.params.q_primes[level]
-    s_x = scale * q_next / ct.scale
+    w = be.params.scale_words
+    assert ct.level >= level + w, (ct.level, level)
+    ct = be.drop_to_level(ct, level + w)
+    s_x = scale * _rescale_prod(be, ct.level) / ct.scale
     pt = be.encode_slots(_ones(be), s_x, ct.level)
     return be.rescale(be.mul_plain(ct, pt))
 
@@ -103,8 +109,9 @@ class ChebyshevEvaluator:
                 terms.append((T[j], float(c[j])))
         if not terms:
             assert target is not None or True
+            w = be.params.scale_words
             lvl, s_t = (
-                (target[0] + 1, target[1] * be.params.q_primes[target[0]])
+                (target[0] + w, target[1] * _rescale_prod(be, target[0] + w))
                 if target is not None
                 else (T[1].level, T[1].scale * delta)
             )
@@ -118,8 +125,8 @@ class ChebyshevEvaluator:
             lvl = min(be.level(ct) for ct, _ in terms)
             s_t = max(ct.scale for ct, _ in terms) * delta
         else:
-            lvl = target[0] + 1
-            s_t = target[1] * be.params.q_primes[target[0]]
+            lvl = target[0] + be.params.scale_words
+            s_t = target[1] * _rescale_prod(be, lvl)
         assert all(be.level(ct) >= lvl for ct, _ in terms)
         acc = None
         for ct, coeff in terms:
@@ -150,9 +157,9 @@ class ChebyshevEvaluator:
         else:
             # steer the q-branch so prod lands EXACTLY on target — the free
             # plaintext scales inside the q-branch absorb the adjustment
-            lv = target[0] + 1
+            lv = target[0] + be.params.scale_words
             assert T[m].level >= lv, (T[m].level, lv)
-            s_q = target[1] * be.params.q_primes[target[0]] / T[m].scale
+            s_q = target[1] * _rescale_prod(be, lv) / T[m].scale
             qv = self._eval(q, T, target=(lv, s_q))
             prod = be.mul(qv, be.drop_to_level(T[m], lv))
         rv = self._eval(r, T, target=(prod.level, prod.scale))

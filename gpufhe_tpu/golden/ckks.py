@@ -562,13 +562,21 @@ def ct_rotate_hoisted(
 
 
 def ct_mod_raise(ct: Ciphertext, params: CKKSParams) -> Ciphertext:
-    assert ct.level == 1 and len(ct.c) == 2
-    q0 = params.q_primes[0]
+    """Re-embed a base-modulus ciphertext into the full chain.
+
+    Supports a composite base of `scale_words` limbs (double-word scale):
+    the centered CRT value v in (-Q0/2, Q0/2] is reduced into every prime.
+    """
+    w = params.scale_words
+    assert ct.level == w and len(ct.c) == 2
+    base = params.q_primes[:w]
     primes = params.q_primes
+    q0_prod = math.prod(base)
     new = []
     for comp in ct.c:
-        coeff = intt_limbs(comp, params, (q0,))
-        lifted = grns.center_reduce(coeff[0], q0, primes)
+        coeff = intt_limbs(comp, params, base)
+        v = crt_compose_centered(coeff, base)  # object ints, centered
+        lifted = np.stack([(v % q).astype(np.int64) for q in primes])
         new.append(ntt_limbs(lifted, params, primes))
     return Ciphertext(c=new, level=params.num_limbs, scale=ct.scale)
 

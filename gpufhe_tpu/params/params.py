@@ -155,6 +155,7 @@ class CKKSParams:
     sigma: float = 3.2  # discrete gaussian error stddev
     hamming_weight: int = 0  # 0 -> dense uniform ternary secret
     plain_modulus: int = 0  # BGV plaintext modulus t (prime, t = 1 mod 2N); 0 -> CKKS
+    scale_words: int = 1  # limbs consumed per rescale (2 -> double-word scale 2^scale_bits)
 
     def __post_init__(self):
         assert self.n & (self.n - 1) == 0, "ring degree must be a power of two"
@@ -257,6 +258,40 @@ def preset(name: str) -> CKKSParams:
         # bootstrap with factored transforms: CtS 2 + EvalMod 10 + StC 2
         p = _mk(n=2**7, n_q=16, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
+    if name == "boot_dw_ci":
+        # double-word scale CI: Delta = 2^56 over 28-bit limb PAIRS; base
+        # modulus q0*q1 (two 30-bit primes) for ModRaise
+        n = 2**7
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 2)
+        pp = gen_ntt_primes(30, two_n, 4, skip=2)
+        qi = gen_ntt_primes(28, two_n, 22)
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
+            scale_bits=56, hamming_weight=16, scale_words=2,
+        )
+    if name == "config5_boot_dw":
+        # double-word production bootstrap: N=2^16, Delta=2^56,
+        # 2x30-bit base + 46 balanced 28-bit limbs (23 double levels);
+        # alpha=10 keeps dnum=5 so the 63 factored-transform Galois keys fit
+        # in HBM; log QP ~ 1650 < 1772 (128-bit)
+        n = 2**16
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 2)
+        pp = gen_ntt_primes(30, two_n, 10, skip=2)
+        cands = balanced_prime_candidates(28, two_n, exclude=tuple(q0 + pp))
+        assert len(cands) >= 46
+        picked = cands[:46]
+        # pair +e with -e so every PAIR product stays near 2^56 (each
+        # double-rescale divides by a pair)
+        picked.sort(key=lambda q: math.log2(q / 2**28))
+        qi = []
+        for i in range(23):
+            qi.extend([picked[i], picked[45 - i]])
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
+            scale_bits=56, hamming_weight=64, scale_words=2,
+        )
     if name == "boot_ci_cheb":
         # Chebyshev-EvalMod bootstrap CI: CtS 2 + cheb ~7 + StC 2 levels
         p = _mk(n=2**7, n_q=13, n_p=3, scale_bits=28)

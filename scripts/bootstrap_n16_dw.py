@@ -1,0 +1,69 @@
+"""DOUBLE-WORD production bootstrap: N=2^16, Delta=2^56, one TPU chip.
+
+The flagship configuration: composite scale (28-bit limb pairs) restores the
+precision the single-word path cannot reach at this ring size; factored-FFT
+transforms (radix-2^3), Chebyshev EvalMod (no noise-amplifying ladder).
+"""
+import json, pathlib, sys, time
+import numpy as np
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+    from gpufhe_tpu.utils.security import report
+
+    radix = 3
+    params = preset("config5_boot_dw")
+    print("#", report(params), flush=True)
+    t0 = time.time()
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=radix)
+    print(f"# context {time.time()-t0:.0f}s, {len(rots)} galois keys", flush=True)
+    t0 = time.time()
+    chest = device_keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    jax.block_until_ready(chest.device_rlk.b_mont)
+    print(f"# device keygen {time.time()-t0:.0f}s", flush=True)
+
+    be = DeviceBackend(params, ctx, chest)
+    t0 = time.time()
+    bs = Bootstrapper(be, transform="factored", radix_log=radix,
+                      evalmod="cheb", k_bound=12.0)
+    print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=2,
+    )
+    t0 = time.time()
+    out = bs(ct)
+    jax.block_until_ready(out.c)
+    first = time.time() - t0
+    print(f"# compile+first {first:.0f}s", flush=True)
+    t0 = time.time()
+    out = bs(ct)
+    jax.block_until_ready(out.c)
+    steady = time.time() - t0
+    err = float(np.abs(be.decrypt_decode(out) - z).max())
+    print(json.dumps({
+        "demo": "ckks_bootstrap_doubleword", "N": params.n, "L": params.num_limbs,
+        "slots": params.slots, "scale_bits": params.scale_bits,
+        "out_level": out.level, "out_double_levels": out.level // 2,
+        "steady_s": round(steady, 3), "first_s": round(first, 1), "max_err": err,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
