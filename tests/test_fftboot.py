@@ -150,3 +150,50 @@ def test_full_bootstrap_chebyshev_evalmod():
     out = bs(ct)
     assert out.level >= 2
     assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
+
+
+def test_full_bootstrap_double_word_scale():
+    """Double-word scale (Delta = 2^56 over limb pairs): composite-base
+    ModRaise + scale_words-aware transforms/EvalMod. Precision is ~20x the
+    single-word path (the production configuration for N=2^16)."""
+    params = preset("boot_dw_ci")
+    assert params.scale_words == 2
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=6)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(
+        be, transform="factored", radix_log=6, evalmod="cheb", k_bound=5.0
+    )
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=2,
+    )
+    out = bs(ct)
+    assert out.level >= 4
+    assert np.abs(be.decrypt_decode(out) - z).max() < 1e-3
+
+
+def test_double_word_mod_raise_limb_parity():
+    from gpufhe_tpu.golden import ckks as gckks
+
+    params = preset("boot_dw_ci")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(3))
+    be = DeviceBackend(params, ctx, chest)
+    z = np.random.default_rng(4).normal(size=params.slots) * 0.3 + 0j
+    pt = encoder.encode(z, params)
+    ct2 = dct.encrypt(
+        pt, params, chest.device_pk, ctx, np.random.default_rng(5),
+        params.scale, level=2,
+    )
+    ct2_g = gckks.encrypt(pt, params, chest.pk, np.random.default_rng(5),
+                          params.scale, level=2)
+    r_dev = be.mod_raise(ct2)
+    r_gold = gckks.ct_mod_raise(ct2_g, params)
+    for d, g in zip(r_dev.c, r_gold.c):
+        assert (np.asarray(d).astype(np.int64) == g).all()
