@@ -52,10 +52,14 @@ def main():
     jax.block_until_ready(out.c)
     first = time.time() - t0
     print(f"# compile+first {first:.0f}s", flush=True)
-    t0 = time.time()
-    out = bs(ct)
-    jax.block_until_ready(out.c)
-    steady = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = bs(ct)
+        jax.block_until_ready(out.c)
+        times.append(time.time() - t0)
+    steady = min(times)
+    print(f"# steady iterations: {[round(t,2) for t in times]}", flush=True)
     err = float(np.abs(be.decrypt_decode(out) - z).max())
     print(json.dumps({
         "demo": "ckks_bootstrap_doubleword", "N": params.n, "L": params.num_limbs,
