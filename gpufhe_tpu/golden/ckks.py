@@ -61,8 +61,10 @@ def encode(z: np.ndarray, scale: float, primes: tuple[int, ...], n: int) -> np.n
     scaled = np.rint(m * scale)
     if np.abs(scaled).max() < 2**62:  # int64 fast path (same residues)
         coeffs = scaled.astype(np.int64)
-    else:
-        coeffs = scaled.astype(object)
+        return np.remainder(
+            coeffs[None, :], np.asarray(primes, dtype=np.int64)[:, None]
+        )
+    coeffs = scaled.astype(object)
     return np.stack([(coeffs % q).astype(np.int64) for q in primes])
 
 
