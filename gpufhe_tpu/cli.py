@@ -110,7 +110,7 @@ def _cmd_bootstrap(args):
     be = DeviceBackend(params, ctx, chest)
     bs = Bootstrapper(
         be, r=args.r, taylor_m=args.taylor_m, transform=args.transform,
-        radix_log=args.radix,
+        radix_log=args.radix, evalmod=args.evalmod, k_bound=args.k_bound,
     )
     rng = np.random.default_rng(0)
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
@@ -176,6 +176,8 @@ def main(argv=None):
     bt.add_argument("--r", type=int, default=5)
     bt.add_argument("--taylor-m", dest="taylor_m", type=int, default=4)
     bt.add_argument("--seed", type=int, default=7)
+    bt.add_argument("--evalmod", default="cos", choices=["cos", "cheb"])
+    bt.add_argument("--k-bound", dest="k_bound", type=float, default=12.0)
     bt.set_defaults(fn=_cmd_bootstrap)
 
     g = sub.add_parser("keygen", help="generate + save a key chest")
