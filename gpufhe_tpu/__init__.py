@@ -18,7 +18,8 @@ Design stance (TPU-first):
     products (the VPU path), with fixed operands (twiddles, keys) stored in
     Montgomery form
   * negacyclic NTT as a four-step transform whose n1/n2-point sub-transforms
-    are unsigned-8-bit digit-decomposed matmuls on the MXU
+    are signed-8-bit digit-decomposed matmuls on the MXU (signed digits:
+    the Mosaic uint8 dot_general path misreads operands as signed)
   * scaling via a ('limb', 'coeff') jax.sharding.Mesh: limb-parallel ops are
     embarrassingly parallel, the coeff axis uses an all_to_all four-step NTT,
     key-switch inner products psum over the limb axis

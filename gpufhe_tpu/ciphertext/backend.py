@@ -15,12 +15,30 @@ stays far below the noise floor for near-power-of-two prime chains.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 from gpufhe_tpu.golden import ckks as gckks
 from gpufhe_tpu.params.params import CKKSParams
 
 _REL_SCALE_TOL = 1e-6
+
+
+class FanPlan(NamedTuple):
+    """Precomputed device material for one fused diagonal-fan stage."""
+
+    level: int
+    pt_scale: float
+    offsets: tuple  # sorted nonzero rotation steps
+    pt_stacks: tuple  # per set: u32[R, K+alpha, N] Montgomery NTT QP-basis
+    pt0s: tuple  # per set: u32[K+alpha, N] or None (zero-offset diagonal)
+
+
+class GoldenFanPlan(NamedTuple):
+    level: int
+    pt_scale: float
+    sets: tuple  # per set: dict offset -> int64[K+alpha, N] NTT QP-basis
 
 
 def _check_scales(a_scale: float, b_scale: float):
@@ -42,6 +60,8 @@ class DeviceBackend:
         self._ct = dct
         self._enc = encoder
         self._const_cache = {}  # (value, scale, level) -> encoded plaintext
+        self._addp_cache = {}  # (value, scale, level) -> NTT-domain plaintext
+        self.encode_misses = 0  # host encodes actually performed (cache misses)
 
     # -- plaintext handling -------------------------------------------------
     def encode_slots(self, z, scale: float, level: int):
@@ -65,6 +85,7 @@ class DeviceBackend:
         return self._encode_uncached(z, scale, level)
 
     def _encode_uncached(self, z, scale: float, level: int):
+        self.encode_misses += 1
         pt = gckks.encode(
             np.asarray(z, dtype=np.complex128),
             scale,
@@ -78,25 +99,123 @@ class DeviceBackend:
         return self._ct.ct_mul_plain(ct, pt, scale, self.ctx)
 
     def add_plain(self, ct, z):
-        """Add a complex constant vector (encoded at ct.scale) to the message."""
-        pt = gckks.encode(
-            np.broadcast_to(np.asarray(z, dtype=np.complex128), (self.params.slots,)),
-            ct.scale,
-            self.params.q_primes[: ct.level],
-            self.params.n,
-        )
-        import jax.numpy as jnp
+        """Add a complex constant vector (encoded at ct.scale) to the message.
 
+        Uniform constants are cached keyed on (value, scale, level): EvalMod
+        and the Chebyshev evaluator add the same constants every bootstrap
+        iteration, and an uncached encode is a host FFT + upload (0.3-0.8 s
+        at N=2^16 — a real slice of steady-state time before caching).
+        """
         from gpufhe_tpu.ops.modops import add_mod
-        from gpufhe_tpu.ops.ntt import ntt_fwd
 
-        pt_ntt = ntt_fwd(
-            jnp.asarray(pt.astype(np.uint32)), self.ctx, limbs=list(range(ct.level))
-        )
+        pt_ntt = self._addp_pt(z, float(ct.scale), ct.level)
         q = self.ctx.q[: ct.level][:, None]
         c = list(ct.c)
         c[0] = add_mod(c[0], pt_ntt, q)
         return self._ct.Ciphertext(c, ct.level, ct.scale)
+
+    def _addp_pt(self, z, scale: float, level: int):
+        """Cached NTT-domain (non-Montgomery) plaintext of a uniform constant."""
+        import jax.numpy as jnp
+
+        from gpufhe_tpu.ops.ntt import ntt_fwd
+
+        z = np.asarray(z)
+        uniform = z.ndim == 0 or (z.ndim == 1 and z.size and (z == z.flat[0]).all())
+        key = None
+        if uniform:
+            key = (complex(z.flat[0] if z.ndim else z), scale, level)
+            hit = self._addp_cache.get(key)
+            if hit is not None:
+                return hit
+        self.encode_misses += 1
+        pt = gckks.encode(
+            np.broadcast_to(np.asarray(z, dtype=np.complex128), (self.params.slots,)),
+            scale,
+            self.params.q_primes[:level],
+            self.params.n,
+        )
+        pt_ntt = ntt_fwd(
+            jnp.asarray(pt.astype(np.uint32)), self.ctx, limbs=list(range(level))
+        )
+        if key is not None:
+            self._addp_cache[key] = pt_ntt
+        return pt_ntt
+
+    def plain_mac(self, terms, const=None):
+        """Fused sum_i pt_i * ct_i -> rescale -> (+ const): one dispatch.
+
+        terms: list of (ct, pt_handle) at one common level with (approx)
+        matching product scales. Bit-exact vs the generic composition the
+        golden backend runs (mul_plain per term, add, rescale, add_plain)."""
+        cts = [t[0] for t in terms]
+        pts = [t[1][0] for t in terms]
+        out_scale = float(cts[0].scale) * float(terms[0][1][1])
+        for ct, (pt, s) in terms[1:]:
+            _check_scales(float(ct.scale) * float(s), out_scale)
+        const_ntt = None
+        if const is not None:
+            lvl = cts[0].level - self.params.scale_words
+            s = out_scale
+            l = cts[0].level
+            for _ in range(self.params.scale_words):
+                s = s / self.params.q_primes[l - 1]
+                l -= 1
+            const_ntt = self._addp_pt(const, s, lvl)
+        return self._ct.ct_plain_mac(
+            cts, pts, const_ntt, self.params, self.ctx, out_scale
+        )
+
+    # -- fused diagonal-fan stages (fftboot.DiagPlan hot path) --------------
+    def _encode_qp(self, z, scale: float, level: int):
+        """complex[slots] -> Montgomery NTT-domain u32[K+alpha, N] over the
+        active QP basis (q-prefix rows double as the Q-basis plaintext)."""
+        from gpufhe_tpu.ops.modops import to_mont
+        from gpufhe_tpu.ops.ntt import ntt_fwd
+        from gpufhe_tpu.primitives.keyswitch import qp_indices
+
+        import jax.numpy as jnp
+
+        self.encode_misses += 1
+        qp_primes = self.params.q_primes[:level] + self.params.p_primes
+        pt = gckks.encode(
+            np.asarray(z, dtype=np.complex128), scale, qp_primes, self.params.n
+        )
+        qp_idx = np.asarray(qp_indices(self.params, level))
+        x_ntt = ntt_fwd(jnp.asarray(pt.astype(np.uint32)), self.ctx, limbs=qp_idx)
+        q = self.ctx.q[qp_idx][:, None]
+        return to_mont(x_ntt, q, self.ctx.qinv_neg[qp_idx][:, None],
+                       self.ctx.r2[qp_idx][:, None])
+
+    def make_fan_plan(self, diag_sets, level: int, scale: float | None = None):
+        """Encode the diagonals of a grouped sparse stage for ct_diag_fan.
+
+        diag_sets: list of dicts offset -> complex[slots]. Offsets missing
+        from one set but present in another are zero-padded (exact)."""
+        import jax.numpy as jnp
+
+        scale = self.params.scale if scale is None else scale
+        offsets = tuple(sorted({r for d in diag_sets for r in d if r != 0}))
+        zeros = np.zeros(self.params.slots, dtype=np.complex128)
+        pt_stacks, pt0s = [], []
+        for dset in diag_sets:
+            assert any(r != 0 for r in dset), "each set needs a nonzero offset"
+            pt_stacks.append(
+                jnp.stack([self._encode_qp(dset.get(r, zeros), scale, level)
+                           for r in offsets])
+            )
+            pt0s.append(
+                self._encode_qp(dset[0], scale, level) if 0 in dset else None
+            )
+        return FanPlan(level, scale, offsets, tuple(pt_stacks), tuple(pt0s))
+
+    def apply_fan(self, ct, plan: FanPlan):
+        assert ct.level == plan.level, (ct.level, plan.level)
+        gks = {s: self.chest.galois_key(s) for s in plan.offsets}
+        return self._ct.ct_diag_fan(
+            ct, plan.offsets, plan.pt_stacks, plan.pt0s, plan.pt_scale,
+            self.params, self.ctx, gks,
+        )
 
     # -- ciphertext ops (levels auto-aligned by limb truncation) ------------
     def _align(self, a, b):
@@ -117,11 +236,7 @@ class DeviceBackend:
 
     def mul(self, a, b):
         a, b = self._align(a, b)
-        t = self._ct.ct_tensor(a, b, self.ctx)
-        r = self._ct.ct_relinearize(t, self.params, self.ctx, self.chest.device_rlk)
-        for _ in range(self.params.scale_words):
-            r = self._ct.ct_rescale(r, self.params, self.ctx)
-        return r
+        return self._ct.ct_mul_full(a, b, self.params, self.ctx, self.chest.device_rlk)
 
     def mod_raise(self, ct):
         if self.params.scale_words == 2:
@@ -194,6 +309,32 @@ class GoldenBackend:
         c = list(ct.c)
         c[0] = gckks.poly_add(c[0], pt_ntt, primes)
         return gckks.Ciphertext(c, ct.level, ct.scale)
+
+    # -- fused diagonal-fan stages (mirror of DeviceBackend.make_fan_plan) --
+    def _encode_qp(self, z, scale: float, level: int):
+        qp_primes = self.params.q_primes[:level] + self.params.p_primes
+        pt = gckks.encode(
+            np.asarray(z, dtype=np.complex128), scale, qp_primes, self.params.n
+        )
+        return gckks.ntt_limbs(pt, self.params, qp_primes)
+
+    def make_fan_plan(self, diag_sets, level: int, scale: float | None = None):
+        scale = self.params.scale if scale is None else scale
+        sets = tuple(
+            {r: self._encode_qp(z, scale, level) for r, z in dset.items()}
+            for dset in diag_sets
+        )
+        for dset in diag_sets:
+            assert any(r != 0 for r in dset), "each set needs a nonzero offset"
+        return GoldenFanPlan(level, scale, sets)
+
+    def apply_fan(self, ct, plan: GoldenFanPlan):
+        assert ct.level == plan.level, (ct.level, plan.level)
+        offsets = sorted({r for d in plan.sets for r in d if r != 0})
+        gks = {s: self.chest.golden_galois_key(s) for s in offsets}
+        return gckks.ct_diag_fan(
+            ct, list(plan.sets), plan.pt_scale, self.params, gks
+        )
 
     def _align(self, a, b):
         lvl = min(a.level, b.level)

@@ -194,6 +194,120 @@ def ct_mul(
     return ct_rescale(ct_relinearize(ct_tensor(a, b, ctx), params, ctx, rlk), params, ctx)
 
 
+@functools.partial(jax.jit, static_argnums=(5,))
+def _mul_full_core(ca, cb, ctx, kscs, rlk, params):
+    """Tensor + relinearize + scale_words rescales as ONE program.
+
+    Bit-exact vs ct_rescale^w(ct_relinearize(ct_tensor(a, b))): the NTT/iNTT
+    round trips between the chained rescales cancel exactly mod q, so the
+    rescales run back-to-back in coefficient domain. One dispatch instead of
+    2 + scale_words — the polynomial evaluators (polyeval.py, bootstrap.py
+    EvalMod) issue hundreds of multiplies per bootstrap, and per-dispatch
+    overhead dominated their steady-state time at N=2^16.
+    """
+    level = ca[0].shape[0]
+    q, qinv = _qb(ctx, level)
+    r2 = ctx.r2[:level][:, None]
+    a0, a1 = ca
+    b0, b1 = cb
+    d0 = mul_mod(a0, b0, q, qinv, r2)
+    d1 = add_mod(mul_mod(a0, b1, q, qinv, r2), mul_mod(a1, b0, q, qinv, r2), q)
+    d2 = mul_mod(a1, b1, q, qinv, r2)
+    ks0, ks1 = key_switch_core(d2, params, level, ctx, kscs[0], rlk)
+    c0 = add_mod(d0, ks0, q)
+    c1 = add_mod(d1, ks1, q)
+    from gpufhe_tpu.primitives.rns import rescale as rescale_coeff
+
+    out = []
+    for comp in (c0, c1):
+        cc = ntt_inv(comp, ctx, limbs=list(range(level)))
+        lvl = level
+        for w in range(params.scale_words):
+            cc = rescale_coeff(cc, params, lvl, ctx, kscs[w])
+            lvl -= 1
+        out.append(ntt_fwd(cc, ctx, limbs=list(range(lvl))))
+    return tuple(out)
+
+
+def ct_mul_full(
+    a: Ciphertext, b: Ciphertext, params: CKKSParams, ctx: Context, rlk: DeviceKSKey
+) -> Ciphertext:
+    """Homomorphic multiply incl. scale_words rescales, fused into one jit."""
+    assert a.level == b.level and len(a.c) == 2 and len(b.c) == 2
+    kscs = tuple(
+        make_ks_context(params, a.level - w) for w in range(params.scale_words)
+    )
+    out = _mul_full_core(tuple(a.c), tuple(b.c), ctx, kscs, rlk, params)
+    scale = a.scale * b.scale
+    lvl = a.level
+    for _ in range(params.scale_words):
+        scale = scale / params.q_primes[lvl - 1]
+        lvl -= 1
+    return Ciphertext(list(out), lvl, scale)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _plain_mac_core(cs_list, pts, const_ntt, ctx, kscs, params):
+    """sum_i pt_i * ct_i, rescaled scale_words times, plus a constant: ONE
+    program. Bit-exact vs the generic mul_plain/add/rescale/add_plain chain
+    (modular ops are order-independent; the NTT/iNTT round trips between
+    chained rescales cancel exactly)."""
+    from gpufhe_tpu.primitives.rns import rescale as rescale_coeff
+
+    level = cs_list[0][0].shape[0]
+    q, qinv = _qb(ctx, level)
+    acc0 = acc1 = None
+    for (c0, c1), pt in zip(cs_list, pts):
+        t0 = mont_mul(c0, pt, q, qinv)
+        t1 = mont_mul(c1, pt, q, qinv)
+        acc0 = t0 if acc0 is None else add_mod(acc0, t0, q)
+        acc1 = t1 if acc1 is None else add_mod(acc1, t1, q)
+    out = []
+    for comp in (acc0, acc1):
+        cc = ntt_inv(comp, ctx, limbs=list(range(level)))
+        lvl = level
+        for w in range(params.scale_words):
+            cc = rescale_coeff(cc, params, lvl, ctx, kscs[w])
+            lvl -= 1
+        out.append(ntt_fwd(cc, ctx, limbs=list(range(lvl))))
+    if const_ntt is not None:
+        qf = ctx.q[:lvl][:, None]
+        out[0] = add_mod(out[0], const_ntt, qf)
+    return tuple(out)
+
+
+def ct_plain_mac(
+    cts: list,
+    pt_monts: list,
+    const_ntt,
+    params: CKKSParams,
+    ctx: Context,
+    out_scale: float,
+) -> Ciphertext:
+    """Fused plaintext MAC fan (see _plain_mac_core); all cts at one level.
+
+    out_scale is the (pre-rescale) product scale term0 carries in the generic
+    path; the returned scale mirrors chained ct_rescale float arithmetic."""
+    level = cts[0].level
+    assert all(c.level == level and len(c.c) == 2 for c in cts)
+    kscs = tuple(
+        make_ks_context(params, level - w) for w in range(params.scale_words)
+    )
+    out = _plain_mac_core(
+        tuple(tuple(c.c) for c in cts),
+        tuple(pt[:level] for pt in pt_monts),
+        const_ntt,
+        ctx,
+        kscs,
+        params,
+    )
+    lvl = level
+    for _ in range(params.scale_words):
+        out_scale = out_scale / params.q_primes[lvl - 1]
+        lvl -= 1
+    return Ciphertext(list(out), lvl, out_scale)
+
+
 @functools.lru_cache(maxsize=None)
 def _perm_dev(g: int, n: int) -> jnp.ndarray:
     return jnp.asarray(gckks.automorphism_perm_eval(g, n).astype(np.int32))
@@ -348,6 +462,148 @@ def ct_rotate_hoisted(
         )
         out.append(Ciphertext([c0, c1], ct.level, ct.scale))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused rotation-fan linear combination ("double hoisting") — ONE jitted
+# program for a whole sparse-diagonal stage: hoist + every rotation's gadget
+# MAC + plaintext MACs in the extended QP basis + ONE delayed ModDown per
+# output + in-jit rescale. Device mirror of golden ct_diag_fan (bit-exact).
+# This is the kernel behind fftboot.DiagPlan: it collapses the ~85 dispatches
+# a factored-transform stage used to take into a single XLA program.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, level):
+    """One grouped diagonal stage, fully fused.
+
+    cs: (c0, c1) u32[K, N] NTT domain. perm_stack: i32[R, N] eval-domain
+    automorphism permutations (one per nonzero offset). gk_list: tuple of R
+    DeviceKSKeys. pt_stacks: per output set, u32[R, K+alpha, N] Montgomery
+    NTT-domain plaintext diagonals over the active QP basis (missing offsets
+    zero-padded — exact, 0 terms add nothing mod q). pt0s: per set, the
+    zero-offset plaintext u32[K+alpha, N] or None. kscs: KSContext per
+    rescale word (levels K, K-1, ...).
+
+    Returns one (c0, c1) pair per set at level K - scale_words; bit-exact vs
+    golden ct_diag_fan (NTT/iNTT cancellation makes the in-coeff-domain
+    double rescale identical to repeated ct_rescale).
+    """
+    from gpufhe_tpu.primitives.keyswitch import qp_indices
+    from gpufhe_tpu.primitives.rns import mod_down, mod_up
+    from gpufhe_tpu.primitives.rns import rescale as rescale_coeff
+
+    qp_idx = np.asarray(qp_indices(params, level))
+    q_idx = list(range(level))
+    q = ctx.q[:level][:, None]
+    qinv = ctx.qinv_neg[:level][:, None]
+    qp_q = ctx.q[qp_idx][:, None]
+    qp_qinv = ctx.qinv_neg[qp_idx][:, None]
+    c0, c1 = cs
+
+    # hoist: one decompose + ModUp + NTT for the whole fan
+    c1_coeff = ntt_inv(c1, ctx, limbs=q_idx)
+    raised = mod_up(c1_coeff, params, level, ctx, kscs[0])
+    raised_ntt = [ntt_fwd(r, ctx, limbs=qp_idx) for r in raised]
+
+    nsets = len(pt_stacks)
+    acc0 = [None] * nsets
+    acc1 = [None] * nsets
+    c0_acc = [None] * nsets
+    r_count = perm_stack.shape[0]
+    for j in range(r_count):
+        perm = perm_stack[j]
+        gk = gk_list[j]
+        t0 = t1 = None
+        for d, r in enumerate(raised_ntt):
+            rg = jnp.take(r, perm, axis=1)
+            u0 = mont_mul(rg, gk.b_mont[d][qp_idx], qp_q, qp_qinv)
+            u1 = mont_mul(rg, gk.a_mont[d][qp_idx], qp_q, qp_qinv)
+            t0 = u0 if t0 is None else add_mod(t0, u0, qp_q)
+            t1 = u1 if t1 is None else add_mod(t1, u1, qp_q)
+        c0g = jnp.take(c0, perm, axis=1)
+        for s in range(nsets):
+            pt = pt_stacks[s][j]
+            v0 = mont_mul(t0, pt, qp_q, qp_qinv)
+            v1 = mont_mul(t1, pt, qp_q, qp_qinv)
+            acc0[s] = v0 if acc0[s] is None else add_mod(acc0[s], v0, qp_q)
+            acc1[s] = v1 if acc1[s] is None else add_mod(acc1[s], v1, qp_q)
+            w0 = mont_mul(c0g, pt[:level], q, qinv)
+            c0_acc[s] = w0 if c0_acc[s] is None else add_mod(c0_acc[s], w0, q)
+
+    outs = []
+    for s in range(nsets):
+        down = [
+            mod_down(ntt_inv(a, ctx, limbs=qp_idx), params, level, ctx, kscs[0])
+            for a in (acc0[s], acc1[s])
+        ]
+        e0 = c0_acc[s]
+        e1 = None
+        if pt0s[s] is not None:
+            pt0 = pt0s[s][:level]
+            e0 = add_mod(e0, mont_mul(c0, pt0, q, qinv), q)
+            e1 = mont_mul(c1, pt0, q, qinv)
+        comp_coeff = [
+            add_mod(down[0], ntt_inv(e0, ctx, limbs=q_idx), q),
+            down[1]
+            if e1 is None
+            else add_mod(down[1], ntt_inv(e1, ctx, limbs=q_idx), q),
+        ]
+        # rescale scale_words times entirely in coefficient domain: the
+        # NTT/iNTT round trips of repeated ct_rescale cancel exactly mod q
+        new = []
+        for cc in comp_coeff:
+            lvl = level
+            for w in range(params.scale_words):
+                cc = rescale_coeff(cc, params, lvl, ctx, kscs[w])
+                lvl -= 1
+            new.append(ntt_fwd(cc, ctx, limbs=list(range(lvl))))
+        outs.append(tuple(new))
+    return tuple(outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_stack_dev(steps: tuple, n: int) -> jnp.ndarray:
+    perms = [
+        gckks.automorphism_perm_eval(gckks.galois_exponent(s, n), n).astype(np.int32)
+        for s in steps
+    ]
+    return jnp.asarray(np.stack(perms))
+
+
+def ct_diag_fan(
+    ct: Ciphertext,
+    offsets: tuple,
+    pt_stacks: tuple,
+    pt0s: tuple,
+    pt_scale: float,
+    params: CKKSParams,
+    ctx: Context,
+    gks: dict,
+) -> list:
+    """Apply a fused diagonal-fan stage (see _diag_fan_core).
+
+    offsets: sorted nonzero rotation steps. pt_stacks/pt0s: one entry per
+    output set (device Montgomery NTT-domain QP-basis plaintexts, stacked
+    [R, K+alpha, N] / single [K+alpha, N] or None), all at scale pt_scale.
+    """
+    assert len(ct.c) == 2
+    level = ct.level
+    kscs = tuple(
+        make_ks_context(params, level - w) for w in range(params.scale_words)
+    )
+    gk_list = tuple(gks[s] for s in offsets)
+    perm_stack = _perm_stack_dev(tuple(offsets), params.n)
+    outs = _diag_fan_core(
+        tuple(ct.c), perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, level
+    )
+    scale = ct.scale * pt_scale
+    lvl = level
+    for _ in range(params.scale_words):
+        scale = scale / params.q_primes[lvl - 1]
+        lvl -= 1
+    return [Ciphertext(list(c), lvl, scale) for c in outs]
 
 
 # ---------------------------------------------------------------------------

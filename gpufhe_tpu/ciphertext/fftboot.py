@@ -128,30 +128,53 @@ def scale_diags(d: dict, c: complex) -> dict:
 
 
 class DiagPlan:
-    """One grouped sparse stage, encoded at a level; apply = one hoisted
-    rotation fan + plaintext MACs + rescale (one level)."""
+    """One grouped sparse stage (possibly with several output sets sharing
+    the same rotation fan), encoded at a level.
 
-    def __init__(self, be, diags: dict, level: int):
+    On backends exposing make_fan_plan/apply_fan (device, golden) the whole
+    stage — hoist, rotation fan, plaintext MACs, delayed ModDown, rescale —
+    runs as ONE fused program (ct_diag_fan, "double hoisting"). Other
+    backends (sharded) fall back to the generic composition: one hoisted
+    rotation fan shared across sets, then per-set plaintext MACs + rescale.
+    The two paths differ only in ModDown rounding-error terms (the fused
+    path rounds the accumulated fan once)."""
+
+    def __init__(self, be, diags, level: int):
         self.be = be
         self.level = level
-        self.offsets = sorted(diags.keys())
-        self.pt = {
-            r: be.encode_slots(diags[r], be.params.scale, level)
-            for r in self.offsets
-        }
+        self.sets = [diags] if isinstance(diags, dict) else list(diags)
+        if hasattr(be, "make_fan_plan"):
+            self.fan = be.make_fan_plan(self.sets, level)
+            self.offsets = sorted(self.sets[0].keys())
+        else:
+            self.fan = None
+            self.offsets = sorted({r for d in self.sets for r in d})
+            self.pt = [
+                {r: be.encode_slots(z, be.params.scale, level)
+                 for r, z in d.items()}
+                for d in self.sets
+            ]
 
-    def apply(self, ct):
+    def apply_multi(self, ct) -> list:
         be = self.be
         assert be.level(ct) == self.level, (be.level(ct), self.level)
+        if self.fan is not None:
+            return be.apply_fan(ct, self.fan)
         steps = [r for r in self.offsets if r != 0]
         rots = {0: ct}
         if steps:
             rots.update(be.rotate_hoisted(ct, steps))
-        out = None
-        for r in self.offsets:
-            term = be.mul_plain(rots[r], self.pt[r])
-            out = term if out is None else be.add(out, term)
-        return be.rescale(out)
+        outs = []
+        for pt_set in self.pt:
+            out = None
+            for r in sorted(pt_set.keys()):
+                term = be.mul_plain(rots[r], pt_set[r])
+                out = term if out is None else be.add(out, term)
+            outs.append(be.rescale(out))
+        return outs
+
+    def apply(self, ct):
+        return self.apply_multi(ct)[0]
 
 
 def all_offsets(groups: list[dict]) -> list[int]:
@@ -187,11 +210,14 @@ class FactoredCtS:
             for i, g in enumerate(groups[:-1])
         ]
         last_level = level - (len(groups) - 1) * w
-        self.last_re = DiagPlan(
-            be, scale_diags(groups[-1], mag * phase / 2), last_level
-        )
-        self.last_im = DiagPlan(
-            be, scale_diags(groups[-1], -1j * mag * phase / 2), last_level
+        # both boundary folds share one rotation fan (two output sets)
+        self.last = DiagPlan(
+            be,
+            [
+                scale_diags(groups[-1], mag * phase / 2),
+                scale_diags(groups[-1], -1j * mag * phase / 2),
+            ],
+            last_level,
         )
         self.be = be
         self.levels_used = len(groups) * w
@@ -200,8 +226,7 @@ class FactoredCtS:
         be = self.be
         for plan in self.shared:
             ct = plan.apply(ct)
-        u_re = self.last_re.apply(ct)
-        u_im = self.last_im.apply(ct)
+        u_re, u_im = self.last.apply_multi(ct)
         ct_lo = be.add(u_re, be.conjugate(u_re))  # 2 Re((c/2) u) = c m_lo
         ct_hi = be.add(u_im, be.conjugate(u_im))  # 2 Re((-ic/2) u) = c m_hi
         return ct_lo, ct_hi

@@ -55,6 +55,8 @@ def _align_to(be, ct, scale: float, level: int):
     ct = be.drop_to_level(ct, level + w)
     s_x = scale * _rescale_prod(be, ct.level) / ct.scale
     pt = be.encode_slots(_ones(be), s_x, ct.level)
+    if hasattr(be, "plain_mac"):  # fused: one dispatch (bit-exact)
+        return be.plain_mac([(ct, pt)])
     return be.rescale(be.mul_plain(ct, pt))
 
 
@@ -128,13 +130,18 @@ class ChebyshevEvaluator:
             lvl = target[0] + be.params.scale_words
             s_t = target[1] * _rescale_prod(be, lvl)
         assert all(be.level(ct) >= lvl for ct, _ in terms)
-        acc = None
+        pairs = []
         for ct, coeff in terms:
             ct = be.drop_to_level(ct, lvl)
             pt = be.encode_slots(
                 np.full(be.params.slots, coeff, dtype=np.complex128),
                 s_t / ct.scale, lvl,
             )
+            pairs.append((ct, pt))
+        if hasattr(be, "plain_mac"):  # fused fan: one dispatch (bit-exact)
+            return be.plain_mac(pairs, float(c[0]))
+        acc = None
+        for ct, pt in pairs:
             term = be.mul_plain(ct, pt)
             acc = term if acc is None else be.add(acc, term)
         acc = be.rescale(acc)

@@ -557,6 +557,99 @@ def ct_rotate_hoisted(
     return out
 
 
+def ct_diag_fan(
+    ct: Ciphertext, pt_sets: list, pt_scale: float, params: CKKSParams, gks: dict
+) -> list:
+    """Fused rotation-fan linear combination ("double hoisting").
+
+    For each dict D in pt_sets computes
+
+        rescale^scale_words( sum_r D[r] * rot_r(ct) )
+
+    with ONE hoisted decomposition shared by every rotation and ONE delayed
+    ModDown per output: each rotation's gadget inner product stays in the
+    extended QP basis, is multiplied there by the plaintext diagonal and
+    accumulated, and a single ModDown lands the whole fan back in Q. Only
+    rounding-error terms differ vs per-rotation key switching (the single
+    ModDown rounds the accumulated sum once instead of |fan| times — equal or
+    better noise); this is the exact contract the device kernel
+    (ciphertext/ct.py ct_diag_fan) mirrors limb-for-limb.
+
+    pt_sets: dicts offset -> int64[K+alpha, N] NTT-domain plaintext residues
+    over the ACTIVE QP basis (rows = active q-chain then p-chain; the
+    q-prefix rows double as the Q-basis plaintext for the c0 / zero-offset
+    terms). All plaintexts share scale pt_scale. The r=0 entry (no key
+    switch) is optional per set; every set needs >= 1 nonzero offset.
+    """
+    assert len(ct.c) == 2
+    level = ct.level
+    k = level
+    alpha = len(params.p_primes)
+    q_primes = params.q_primes[:level]
+    p_primes = params.p_primes
+    qp_active = q_primes + p_primes
+    n = params.n
+
+    offsets = sorted({r for dset in pt_sets for r in dset if r != 0})
+    raised = hoist_decompose(ct, params)
+    qp_idx = list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+
+    nsets = len(pt_sets)
+    acc0 = [None] * nsets
+    acc1 = [None] * nsets
+    c0_acc = [None] * nsets
+    for r in offsets:
+        g = galois_exponent(r, n)
+        perm = automorphism_perm_eval(g, n)
+        gk = gks[r]
+        t0 = t1 = None
+        for d, rr in enumerate(raised):
+            rg = rr[:, perm]
+            u0 = poly_mul(rg, gk.b[d][qp_idx], qp_active)
+            u1 = poly_mul(rg, gk.a[d][qp_idx], qp_active)
+            t0 = u0 if t0 is None else poly_add(t0, u0, qp_active)
+            t1 = u1 if t1 is None else poly_add(t1, u1, qp_active)
+        c0g = ct.c[0][:, perm]
+        for s, dset in enumerate(pt_sets):
+            if r not in dset:
+                continue
+            pt = dset[r]
+            v0 = poly_mul(t0, pt, qp_active)
+            v1 = poly_mul(t1, pt, qp_active)
+            acc0[s] = v0 if acc0[s] is None else poly_add(acc0[s], v0, qp_active)
+            acc1[s] = v1 if acc1[s] is None else poly_add(acc1[s], v1, qp_active)
+            w0 = poly_mul(c0g, pt[:k], q_primes)
+            c0_acc[s] = (
+                w0 if c0_acc[s] is None else poly_add(c0_acc[s], w0, q_primes)
+            )
+
+    outs = []
+    for s, dset in enumerate(pt_sets):
+        assert acc0[s] is not None, "each set needs a nonzero offset"
+        ks0 = grns.mod_down_coeff(
+            intt_limbs(acc0[s], params, qp_active), q_primes, p_primes
+        )
+        ks1 = grns.mod_down_coeff(
+            intt_limbs(acc1[s], params, qp_active), q_primes, p_primes
+        )
+        e0 = c0_acc[s]
+        e1 = None
+        if 0 in dset:
+            pt0 = dset[0][:k]
+            t = poly_mul(ct.c[0], pt0, q_primes)
+            e0 = t if e0 is None else poly_add(e0, t, q_primes)
+            e1 = poly_mul(ct.c[1], pt0, q_primes)
+        out0 = poly_add(ntt_limbs(ks0, params, q_primes), e0, q_primes)
+        out1 = ntt_limbs(ks1, params, q_primes)
+        if e1 is not None:
+            out1 = poly_add(out1, e1, q_primes)
+        out = Ciphertext([out0, out1], level, ct.scale * pt_scale)
+        for _ in range(params.scale_words):
+            out = ct_rescale(out, params)
+        outs.append(out)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # ModRaise (bootstrapping step 0): re-embed an exhausted ciphertext mod q0
 # into the full modulus chain. Output encrypts m + q0*I for small I.

@@ -12,6 +12,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def main():
     import jax
 
+    # persistent compile cache: the fused per-stage programs are big; repeat
+    # runs should hit disk instead of the (slow, tunneled) compiler
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from gpufhe_tpu.ciphertext import ct as dct
     from gpufhe_tpu.ciphertext.backend import DeviceBackend
     from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
@@ -54,10 +62,13 @@ def main():
     print(f"# compile+first {first:.0f}s", flush=True)
     times = []
     for _ in range(3):
+        miss0 = be.encode_misses
         t0 = time.time()
         out = bs(ct)
         jax.block_until_ready(out.c)
         times.append(time.time() - t0)
+        print(f"#   iter {times[-1]:.2f}s, encode misses {be.encode_misses - miss0}",
+              flush=True)
     steady = min(times)
     print(f"# steady iterations: {[round(t,2) for t in times]}", flush=True)
     err = float(np.abs(be.decrypt_decode(out) - z).max())

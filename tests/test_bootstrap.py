@@ -57,6 +57,7 @@ def test_bsgs_matmul_backend_parity_and_numerics():
     assert np.abs(got - want).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_full_bootstrap_device():
     params = preset("boot_ci")
     ctx = make_context(params)
@@ -77,3 +78,31 @@ def test_full_bootstrap_device():
     assert out.level >= 2  # levels were restored
     got = be.decrypt_decode(out)
     assert np.abs(got - z).max() < 0.02
+
+
+@pytest.mark.slow
+def test_bootstrap_steady_state_no_host_encodes():
+    """Second bootstrap iteration must be encode-free: every plaintext
+    constant (EvalMod coefficients, alignment scalars, fan diagonals) is
+    cached after the first pass (VERDICT r1 item 5)."""
+    params = preset("boot_ci")
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(be)
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    bs(ct)
+    before = be.encode_misses
+    out = bs(ct)
+    assert be.encode_misses == before, (
+        f"{be.encode_misses - before} host encodes in steady state"
+    )
+    assert np.abs(be.decrypt_decode(out) - z).max() < 0.02

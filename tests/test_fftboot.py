@@ -84,6 +84,7 @@ def test_factored_cts_stc_homomorphic_round_trip():
     assert np.abs(be.decrypt_decode(out) - z).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_full_bootstrap_factored_transforms():
     params = preset("boot_ci_f")
     ctx = make_context(params)
@@ -128,6 +129,7 @@ def test_chebyshev_evaluator():
     assert np.abs(got - np.sin(2 * np.pi * k * y)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_full_bootstrap_chebyshev_evalmod():
     """Factored transforms + Chebyshev EvalMod: the production bootstrap
     composition (no 2^r noise amplification)."""
@@ -152,6 +154,7 @@ def test_full_bootstrap_chebyshev_evalmod():
     assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
 
 
+@pytest.mark.slow
 def test_full_bootstrap_double_word_scale():
     """Double-word scale (Delta = 2^56 over limb pairs): composite-base
     ModRaise + scale_words-aware transforms/EvalMod. Precision is ~20x the
@@ -197,3 +200,46 @@ def test_double_word_mod_raise_limb_parity():
     r_gold = gckks.ct_mod_raise(ct2_g, params)
     for d, g in zip(r_dev.c, r_gold.c):
         assert (np.asarray(d).astype(np.int64) == g).all()
+
+
+def test_fused_diag_fan_backend_parity():
+    """ct_diag_fan (double-hoisted fused stage) is limb-exact device vs
+    golden, on multiple output sets with differing offset subsets, and
+    numerically equals sum_r d_r * rot_r(z)."""
+    from gpufhe_tpu.ciphertext.backend import GoldenBackend
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    rots = (1, 3, params.slots - 1)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=rots, conjugation=False
+    )
+    dev = DeviceBackend(params, ctx, chest)
+    gold = GoldenBackend(params, chest)
+    rng = np.random.default_rng(0)
+    ns = params.slots
+    z = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    pt = encoder.encode(z, params)
+    ct_d = dct.encrypt(
+        pt, params, chest.device_pk, ctx, np.random.default_rng(1), params.scale
+    )
+    ct_g = gckks.encrypt(pt, params, chest.pk, np.random.default_rng(1), params.scale)
+
+    d1 = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    d2 = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    d3 = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    sets = [{0: d1, 1: d2, 3: d3}, {1: d1, params.slots - 1: d2}]
+    out_d = dev.apply_fan(ct_d, dev.make_fan_plan(sets, ct_d.level))
+    out_g = gold.apply_fan(ct_g, gold.make_fan_plan(sets, ct_g.level))
+    for od, og in zip(out_d, out_g):
+        assert od.level == og.level
+        assert abs(od.scale / og.scale - 1) < 1e-12
+        for cd, cg in zip(od.c, og.c):
+            assert (np.asarray(cd).astype(np.int64) == cg).all()
+
+    got = dev.decrypt_decode(out_d[0])
+    want = d1 * z + d2 * np.roll(z, -1) + d3 * np.roll(z, -3)
+    assert np.abs(got - want).max() < 1e-3
+    got2 = dev.decrypt_decode(out_d[1])
+    want2 = d1 * np.roll(z, -1) + d2 * np.roll(z, -(params.slots - 1))
+    assert np.abs(got2 - want2).max() < 1e-3

@@ -149,6 +149,7 @@ def test_sharded_rotation_matches_single_chip(stack, mesh):
     assert (sh.unshard_ct_component(o1) == np.asarray(want.c[1])).all()
 
 
+@pytest.mark.slow
 def test_two_process_distributed_mult():
     """jax.distributed 2-process run on localhost (SURVEY §4: the multi-host
     recipe); limb-axis collectives cross the process boundary."""
@@ -190,6 +191,7 @@ def test_sharded_bgv_mult_matches_single_chip(mesh):
     assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
 
 
+@pytest.mark.slow
 def test_sharded_backend_factored_transform_round_trip(mesh):
     """fftboot's CtS/StC running entirely on the ShardedBackend: the full
     sharded linear-transform stack (hoisted rotations, conjugation,
