@@ -225,6 +225,74 @@ class ShardedBackend:
         _, prepare = sh.make_sharded_conjugation(self.params, level, self.mesh)
         return prepare(self.chest.conj_key())
 
+    # -- fused diagonal-fan stages (mesh mirror of ct_diag_fan) -------------
+    def _encode_qp_e3(self, z, scale, level):
+        """Host encode over the QP basis -> Montgomery eval3d, sharded."""
+        from gpufhe_tpu.ops.modops import to_mont
+        from gpufhe_tpu.ops.ntt import ntt_fwd
+        from gpufhe_tpu.primitives.keyswitch import qp_indices
+
+        qp_primes = self.params.q_primes[:level] + self.params.p_primes
+        pt = gckks.encode(
+            np.asarray(z, dtype=np.complex128), scale, qp_primes, self.params.n
+        )
+        qp_idx = np.asarray(qp_indices(self.params, level))
+        x_ntt = ntt_fwd(
+            jnp.asarray(pt.astype(np.uint32)), self.ctx, limbs=qp_idx
+        )
+        q = self.ctx.q[qp_idx][:, None]
+        mont = to_mont(
+            x_ntt, q, self.ctx.qinv_neg[qp_idx][:, None], self.ctx.r2[qp_idx][:, None]
+        )
+        e3 = sh.natural_to_eval3d(mont, self.n1, self.n2)
+        return jax.device_put(e3, self._sharding)
+
+    def make_fan_plan(self, diag_sets, level: int, scale: float | None = None):
+        from gpufhe_tpu.golden.ckks import galois_exponent
+
+        scale = self.params.scale if scale is None else scale
+        offsets = tuple(sorted({r for d in diag_sets for r in d if r != 0}))
+        zeros = np.zeros(self.params.slots, dtype=np.complex128)
+        pt_stacks, pt0s, pt0_mask = [], [], []
+        for dset in diag_sets:
+            assert any(r != 0 for r in dset), "each set needs a nonzero offset"
+            pt_stacks.append(
+                jnp.stack(
+                    [self._encode_qp_e3(dset.get(r, zeros), scale, level)
+                     for r in offsets]
+                )
+            )
+            has0 = 0 in dset
+            pt0_mask.append(has0)
+            pt0s.append(self._encode_qp_e3(dset[0], scale, level) if has0 else None)
+        lins = jax.device_put(
+            jnp.asarray(
+                np.stack(
+                    [sh._perm_lin_e3(galois_exponent(r, self.params.n),
+                                     self.n1, self.n2) for r in offsets]
+                )
+            ),
+            NamedSharding(self.mesh, P(None, "coeff", None)),
+        )
+        run, prepare = sh.make_sharded_fan(
+            self.params, level, self.mesh, len(offsets), len(diag_sets),
+            tuple(pt0_mask),
+        )
+        gk_list = [self.chest.galois_key(s) for s in offsets]
+        bundle = prepare(gk_list, gk_list[0])
+        return (level, scale, run, lins, bundle, tuple(pt_stacks), tuple(pt0s))
+
+    def apply_fan(self, ct, plan):
+        level, pt_scale, run, lins, bundle, pt_stacks, pt0s = plan
+        assert ct.level == level, (ct.level, level)
+        outs = run(ct.c[0], ct.c[1], lins, bundle, pt_stacks, pt0s)
+        scale = ct.scale * pt_scale
+        lvl = level
+        for _ in range(self.params.scale_words):
+            scale = scale / self.params.q_primes[lvl - 1]
+            lvl -= 1
+        return [ShardedCiphertext([c0, c1], lvl, scale) for c0, c1 in outs]
+
     def mod_raise(self, ct):
         assert ct.level == 1
         f = self._mod_raise_fn()

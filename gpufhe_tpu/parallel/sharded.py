@@ -536,6 +536,234 @@ def _permute_body(x: jnp.ndarray, lin_local: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(L, lin_local.shape[0], n2)
 
 
+# ---------------------------------------------------------------------------
+# Fused sharded diagonal-fan stage: the mesh mirror of ct_diag_fan ("double
+# hoisting"). One ModUp + NTT for the whole rotation fan, the raised gadget
+# polys all_gathered over the coeff axis ONCE (R rotations then permute
+# locally — for fan sizes R > C this moves strictly less data than ppermute
+# routing each rotation, C x once vs 1 x R), plaintext MACs in the extended
+# QP basis, ONE exact modular allreduce over the limb axis and ONE ModDown
+# per output set, rescale fused in. Bit-exact vs golden ct_diag_fan.
+# ---------------------------------------------------------------------------
+
+
+def _key_stack_e3(ksk: DeviceKSKey, params: CKKSParams, level: int, n_limb: int):
+    """Galois/relin key rows -> limb-sharded eval3d stacks (zero-padded)."""
+    n1, n2 = fourstep_split(params.n)
+    qp_idx = np.asarray(qp_indices(params, level))
+    dnum = len(ks_groups(params, level))
+    gmax = math.ceil(dnum / n_limb)
+    kb = _key_eval3d(ksk.b_mont[:dnum], qp_idx, n1, n2)
+    ka = _key_eval3d(ksk.a_mont[:dnum], qp_idx, n1, n2)
+    pad = n_limb * gmax - dnum
+    if pad:
+        z = jnp.zeros((pad,) + kb.shape[1:], dtype=kb.dtype)
+        kb = jnp.concatenate([kb, z], axis=0)
+        ka = jnp.concatenate([ka, z], axis=0)
+    return (
+        kb.reshape(n_limb, gmax, *kb.shape[1:]),
+        ka.reshape(n_limb, gmax, *ka.shape[1:]),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_fan(
+    params: CKKSParams,
+    level: int,
+    mesh: Mesh,
+    n_offsets: int,
+    nsets: int,
+    pt0_mask: tuple,
+):
+    """Compile the fused diagonal-fan stage for a mesh.
+
+    Returns (run, prepare): prepare(list_of_galois_keys) -> per-rotation key
+    stacks; run(c0, c1, lins, key_stacks, pt_stacks, pt0s) -> list of
+    (c0', c1') eval3d pairs at level - scale_words. `lins` are the
+    [R, n1, n2] linear automorphism gather maps (_perm_lin_e3)."""
+    n_limb = mesh.shape["limb"]
+    n1, n2 = fourstep_split(params.n)
+    ctx = make_context(params)
+    k = level
+    words = params.scale_words
+    qp_idx = np.asarray(qp_indices(params, level))
+    t_q = _ntt_tables_for(ctx, np.arange(k))
+    t_qp = _ntt_tables_for(ctx, qp_idx)
+    t_out = _ntt_tables_for(ctx, np.arange(k - words))
+    gmax = math.ceil(len(ks_groups(params, level)) / n_limb)
+    ks0, _ = None, None  # shared tables built in prepare
+
+    # per-rescale-word constants (coeff-domain chained rescale)
+    resc = []
+    for w in range(words):
+        ksc_w = make_ks_context(params, level - w)
+        lvl = level - w
+        resc.append(
+            (
+                ctx.q[: lvl - 1],
+                ctx.qinv_neg[: lvl - 1],
+                ksc_w.qlast_mod,
+                ksc_w.qlast_inv_mont,
+                jnp.uint32(int(params.q_primes[lvl - 1]) // 2),
+            )
+        )
+    resc = tuple(resc)
+
+    def body(c0, c1, lins, t_q, t_qp, t_out, ks, resc, key_stacks, pt_stacks, pt0s):
+        kq = t_qp.q[:, None, None]
+        kqinv = t_qp.qinv[:, None, None]
+        q = t_q.q[:, None, None]
+        qinv = t_q.qinv[:, None, None]
+
+        # hoist: decompose + ModUp + NTT once for the whole fan
+        c1_coeff = ntt_inv_body(c1, t_q)
+        src_idx = ks.src_idx[0]
+        src_q = ks.src_q[0][..., None, None]
+        src_qinv = ks.src_qinv[0][..., None, None]
+        qhatinv = ks.qhatinv[0][..., None, None]
+        conv = ks.conv[0]
+        raised = []
+        for g in range(gmax):
+            x_src = jnp.take(c1_coeff, src_idx[g], axis=0)
+            v = mont_mul(x_src, qhatinv[g], src_q[g], src_qinv[g])
+            acc = None
+            for i in range(v.shape[0]):
+                term = mont_mul(v[i][None], conv[g, :, i][:, None, None], kq, kqinv)
+                acc = term if acc is None else add_mod(acc, term, kq)
+            raised.append(ntt_fwd_body(acc, t_qp))
+        r_stack = jnp.stack(raised)  # [gmax, QP, B, n2]
+        # gather the fan's shared operands ONCE (amortized over R rotations)
+        full_r = jax.lax.all_gather(r_stack, "coeff", axis=2, tiled=True)
+        full_c0 = jax.lax.all_gather(c0, "coeff", axis=1, tiled=True)
+        qp_rows = full_r.shape[1]
+        fr_flat = full_r.reshape(gmax, qp_rows, n1 * n2)
+        fc0_flat = full_c0.reshape(k, n1 * n2)
+
+        acc0 = [None] * nsets
+        acc1 = [None] * nsets
+        c0acc = [None] * nsets
+        b_rows = c1.shape[1]
+        for j in range(n_offsets):
+            lin = lins[j].reshape(-1)
+            kb, ka = key_stacks[j]
+            t0 = t1 = None
+            for g in range(gmax):
+                rg = jnp.take(fr_flat[g], lin, axis=1).reshape(qp_rows, b_rows, n2)
+                u0 = mont_mul(rg, kb[0][g], kq, kqinv)
+                u1 = mont_mul(rg, ka[0][g], kq, kqinv)
+                t0 = u0 if t0 is None else add_mod(t0, u0, kq)
+                t1 = u1 if t1 is None else add_mod(t1, u1, kq)
+            c0g = jnp.take(fc0_flat, lin, axis=1).reshape(k, b_rows, n2)
+            for s in range(nsets):
+                pt = pt_stacks[s][j]  # [QP, B, n2]
+                v0 = mont_mul(t0, pt, kq, kqinv)
+                v1 = mont_mul(t1, pt, kq, kqinv)
+                acc0[s] = v0 if acc0[s] is None else add_mod(acc0[s], v0, kq)
+                acc1[s] = v1 if acc1[s] is None else add_mod(acc1[s], v1, kq)
+                w0 = mont_mul(c0g, pt[:k], q, qinv)
+                c0acc[s] = w0 if c0acc[s] is None else add_mod(c0acc[s], w0, q)
+
+        outs = []
+        for s in range(nsets):
+            # ONE exact limb reduction + ONE ModDown for the whole fan
+            a0 = _modular_allreduce(acc0[s], kq, "limb")
+            a1 = _modular_allreduce(acc1[s], kq, "limb")
+            down = []
+            for acc in (a0, a1):
+                coeff = ntt_inv_body(acc, t_qp)
+                vp = mont_mul(
+                    coeff[k:],
+                    ks.p2q_qhatinv[:, None, None],
+                    ks.p_q[:, None, None],
+                    ks.p_qinv[:, None, None],
+                )
+                p_part = None
+                for i in range(vp.shape[0]):
+                    term = mont_mul(
+                        vp[i][None], ks.p2q_conv[:, i][:, None, None], q, qinv
+                    )
+                    p_part = term if p_part is None else add_mod(p_part, term, q)
+                down.append(
+                    mont_mul(
+                        sub_mod(coeff[:k], p_part, q), ks.pinv[:, None, None], q, qinv
+                    )
+                )
+            e0 = c0acc[s]
+            e1 = None
+            if pt0_mask[s]:
+                pt0 = pt0s[s][:k]
+                e0 = add_mod(e0, mont_mul(c0, pt0, q, qinv), q)
+                e1 = mont_mul(c1, pt0, q, qinv)
+            cc0 = add_mod(down[0], ntt_inv_body(e0, t_q), q)
+            cc1 = (
+                down[1]
+                if e1 is None
+                else add_mod(down[1], ntt_inv_body(e1, t_q), q)
+            )
+            comps = []
+            for cc in (cc0, cc1):
+                lvl = k
+                for qm_, qminv_, qlm, qli, qlh in resc:
+                    qm = qm_[:, None, None]
+                    qminv = qminv_[:, None, None]
+                    last = cc[lvl - 1]
+                    r = barrett_reduce_u32(last[None], qm)
+                    lifted = jnp.where(
+                        last[None] > qlh, sub_mod(r, qlm[:, None, None], qm), r
+                    )
+                    cc = mont_mul(
+                        sub_mod(cc[: lvl - 1], lifted, qm),
+                        qli[:, None, None], qm, qminv,
+                    )
+                    lvl -= 1
+                comps.append(ntt_fwd_body(cc, t_out))
+            outs.append((comps[0], comps[1]))
+        return tuple(outs)
+
+    ct_spec = P(None, "coeff", None)
+    key_spec = tuple(
+        (P("limb", None, None, "coeff", None), P("limb", None, None, "coeff", None))
+        for _ in range(n_offsets)
+    )
+    pt_spec = tuple(P(None, None, "coeff", None) for _ in range(nsets))
+    pt0_spec = tuple(
+        ct_spec if has else None for has in pt0_mask
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            ct_spec, ct_spec, P(None, "coeff", None),
+            ShardedNTT.spec(), ShardedNTT.spec(), ShardedNTT.spec(),
+            ShardedKS.spec(), tuple((P(), P(), P(), P(), P()) for _ in resc),
+            key_spec, pt_spec, pt0_spec,
+        ),
+        out_specs=tuple((ct_spec, ct_spec) for _ in range(nsets)),
+        check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    def prepare(gk_list, any_key):
+        shared, _ = make_sharded_ks(params, level, any_key, n_limb)
+        # the body reads keys from the per-rotation stacks; drop the bundle's
+        # own (unused) key planes so they are not shipped into the program
+        stub = jnp.zeros((n_limb, 1, 1, n1, 1), dtype=jnp.uint32)
+        shared = shared._replace(key_b=stub, key_a=stub)
+        stacks = tuple(
+            _key_stack_e3(gk, params, level, n_limb) for gk in gk_list
+        )
+        return shared, stacks
+
+    def run(c0, c1, lins, bundle, pt_stacks, pt0s):
+        shared, stacks = bundle
+        return jit_fn(
+            c0, c1, lins, t_q, t_qp, t_out, shared, resc, stacks,
+            tuple(pt_stacks), tuple(pt0s),
+        )
+
+    return run, prepare
+
+
 @functools.lru_cache(maxsize=None)
 def make_sharded_rotation(params: CKKSParams, level: int, mesh: Mesh, steps: int):
     """Compile the sharded rotate-by-`steps` (automorphism + key switch).
