@@ -75,15 +75,18 @@ def _cmd_demo_logreg(args):
 
 
 def _cmd_scaling(args):
-    from gpufhe_tpu.parallel.multihost import weak_scaling_report
+    from gpufhe_tpu.parallel.multihost import scaling_report
     from gpufhe_tpu.params.params import preset
 
     shapes = []
     for spec in args.meshes.split(";"):
         l, c = spec.split("x")
         shapes.append((int(l), int(c)))
-    for row in weak_scaling_report(preset(args.preset), shapes, iters=args.iters):
-        print(json.dumps(row))
+    modes = args.modes.split(",")
+    for mode in modes:
+        for row in scaling_report(preset(args.preset), shapes, iters=args.iters,
+                                  mode=mode):
+            print(json.dumps(row))
 
 
 def _cmd_bootstrap(args):
@@ -167,6 +170,8 @@ def main(argv=None):
     w.add_argument("--preset", default="tiny2")
     w.add_argument("--meshes", default="1x1;1x2;2x2;2x4")
     w.add_argument("--iters", type=int, default=5)
+    w.add_argument("--modes", default="strong,weak",
+                   help="comma list of strong|weak")
     w.set_defaults(fn=_cmd_scaling)
 
     bt = sub.add_parser("bootstrap", help="run one full CKKS bootstrap")

@@ -1,6 +1,7 @@
 from gpufhe_tpu.parallel.multihost import (  # noqa: F401
     global_fhe_mesh,
     initialize_multihost,
+    scaling_report,
     weak_scaling_report,
 )
 from gpufhe_tpu.parallel.sharded import (  # noqa: F401

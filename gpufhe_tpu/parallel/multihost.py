@@ -53,17 +53,24 @@ def global_fhe_mesh(limb_hosts: int | None = None):
     return make_fhe_mesh(limb, total // limb, devices=jax.devices())
 
 
-def weak_scaling_report(params, mesh_shapes: list[tuple[int, int]], iters: int = 5,
-                        level: int | None = None) -> list[dict]:
-    """ops/s of the sharded mult step across mesh shapes (same per-device work
-    when N scales with the coeff axis; here fixed N => strong scaling, the
-    report normalizes both ways)."""
+def scaling_report(params, mesh_shapes: list[tuple[int, int]], iters: int = 5,
+                   level: int | None = None, mode: str = "strong") -> list[dict]:
+    """ops/s of the sharded mult step across mesh shapes.
+
+    mode="strong": fixed total work (one mult of fixed N) — efficiency is
+    speedup / device-ratio.
+    mode="weak": total work scales with the device count (each shape runs a
+    batch of `devices / base_devices` independent mults, so per-device work
+    is constant) — efficiency is base_time / time for the scaled batch.
+    Both modes report ops/s so curves are comparable.
+    """
     import jax
 
     from __graft_entry__ import _random_ct, _random_key
     from gpufhe_tpu.ops.context import make_context
     from gpufhe_tpu.parallel import sharded as sh
 
+    assert mode in ("strong", "weak")
     ctx = make_context(params)
     level = level if level is not None else params.num_limbs
     rng = np.random.default_rng(0)
@@ -71,12 +78,14 @@ def weak_scaling_report(params, mesh_shapes: list[tuple[int, int]], iters: int =
     a0, a1 = _random_ct(params, level, rng)
     b0, b1 = _random_ct(params, level, rng)
 
+    shapes = [s for s in mesh_shapes if s[0] * s[1] <= jax.device_count()]
+    base_ndev = min(s[0] * s[1] for s in shapes) if shapes else 1
+
     rows = []
     base = None
-    for limb, coeff in mesh_shapes:
+    for limb, coeff in shapes:
         ndev = limb * coeff
-        if ndev > jax.device_count():
-            continue
+        batch = max(1, ndev // base_ndev) if mode == "weak" else 1
         mesh = sh.make_fhe_mesh(limb, coeff, devices=jax.devices()[:ndev])
         run, prepare = sh.make_sharded_mult(params, level, mesh)
         bundle = prepare(rlk)
@@ -85,19 +94,29 @@ def weak_scaling_report(params, mesh_shapes: list[tuple[int, int]], iters: int =
         jax.block_until_ready(out)
         t0 = time.time()
         for _ in range(iters):
-            out = run(*blocks, bundle)
+            for _b in range(batch):
+                out = run(*blocks, bundle)
         jax.block_until_ready(out)
-        dt = (time.time() - t0) / iters
-        ops = 1.0 / dt
+        dt = (time.time() - t0) / iters  # per batch of `batch` mults
+        ops = batch / dt
         if base is None:
-            base = (ndev, ops)
+            base = (ndev, ops, dt)
+        if mode == "weak":
+            eff = 100.0 * base[2] / dt  # flat time = perfect weak scaling
+        else:
+            eff = 100.0 * (ops / base[1]) / (ndev / base[0])
         rows.append({
+            "mode": mode,
             "mesh": f"limb={limb} x coeff={coeff}",
             "devices": ndev,
-            "ms_per_mult": round(dt * 1e3, 3),
+            "batch": batch,
+            "ms_per_mult": round(dt * 1e3 / batch, 3),
             "ops_per_s": round(ops, 2),
-            "scaling_eff_pct": round(
-                100.0 * (ops / base[1]) / (ndev / base[0]), 1
-            ),
+            "scaling_eff_pct": round(eff, 1),
         })
     return rows
+
+
+def weak_scaling_report(params, mesh_shapes, iters: int = 5, level=None):
+    """Back-compat alias; see scaling_report (mode='weak')."""
+    return scaling_report(params, mesh_shapes, iters=iters, level=level, mode="weak")
