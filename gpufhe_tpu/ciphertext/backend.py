@@ -276,6 +276,64 @@ class DeviceBackend:
         return ct.level
 
 
+class GhostCiphertext(NamedTuple):
+    level: int
+    scale: float
+
+
+class GhostBackend:
+    """Level/scale simulator: runs orchestration code (polyeval, EvalMod)
+    with NO data, to plan parameter budgets ahead of time — e.g. the exact
+    level the Chebyshev EvalMod output lands on, so SlotToCoeff plans and
+    per-step Galois key truncation (keys/keys.py truncate_galois_device) can
+    be decided before anything touches the device."""
+
+    def __init__(self, params: CKKSParams):
+        self.params = params
+
+    def level(self, ct):
+        return ct.level
+
+    def drop_to_level(self, ct, level):
+        assert level <= ct.level
+        return GhostCiphertext(level, ct.scale)
+
+    def encode_slots(self, z, scale, level):
+        return None, float(scale)
+
+    def mul_plain(self, ct, handle):
+        return GhostCiphertext(ct.level, ct.scale * handle[1])
+
+    def add_plain(self, ct, z):
+        return ct
+
+    def add(self, a, b):
+        lvl = min(a.level, b.level)
+        return GhostCiphertext(lvl, a.scale)
+
+    def sub(self, a, b):
+        lvl = min(a.level, b.level)
+        return GhostCiphertext(lvl, a.scale)
+
+    def rescale_prod(self, level: int) -> float:
+        w = self.params.scale_words
+        out = 1.0
+        for i in range(w):
+            out *= self.params.q_primes[level - 1 - i]
+        return out
+
+    def rescale(self, ct):
+        lvl, s = ct.level, ct.scale
+        for _ in range(self.params.scale_words):
+            s = s / self.params.q_primes[lvl - 1]
+            lvl -= 1
+        return GhostCiphertext(lvl, s)
+
+    def mul(self, a, b):
+        lvl = min(a.level, b.level)
+        return self.rescale(GhostCiphertext(lvl, a.scale * b.scale))
+
+
 class GoldenBackend:
     """Ops on the pure-numpy golden pipeline (golden/ckks.py)."""
 

@@ -100,7 +100,18 @@ class Bootstrapper:
             self._cheb = ChebyshevEvaluator(
                 be, sine_coeffs(k_bound), baby_log=cheb_baby_log
             )
-            self.f_stc = None  # built lazily once the EvalMod depth is known
+            # plan the EvalMod output level with a data-free ghost run so the
+            # StC plan exists up front (enables per-step Galois key
+            # truncation before anything runs — galois_step_levels())
+            from gpufhe_tpu.ciphertext.backend import GhostBackend, GhostCiphertext
+
+            ghost = ChebyshevEvaluator(
+                GhostBackend(params), sine_coeffs(k_bound), baby_log=cheb_baby_log
+            )
+            gy = ghost(GhostCiphertext(full - self.f_cts.levels_used, delta))
+            self.f_stc = FactoredStC(
+                be, level=gy.level, radix_log=radix_log, factor=self._stc_factor
+            )
             self.taylor = []
             return
 
@@ -138,6 +149,23 @@ class Bootstrapper:
         self.taylor = [
             (-1.0) ** j / math.factorial(2 * j) for j in range(self.taylor_m + 1)
         ]
+
+    def galois_step_levels(self):
+        """Highest level each rotation step is used at, plus the conjugation
+        level — the input to keys.truncate_galois_device (factored path)."""
+        if self.transform != "factored":
+            return {}, None
+        plans = list(self.f_cts.shared) + [self.f_cts.last]
+        if self.f_stc is not None:
+            plans += [self.f_stc.first_lo, self.f_stc.first_hi]
+            plans += list(self.f_stc.rest)
+        out = {}
+        for p in plans:
+            for r in p.offsets:
+                if r:
+                    out[r] = max(out.get(r, 0), p.level)
+        conj_level = self.f_cts.last.level - self.params.scale_words
+        return out, conj_level
 
     # -- EvalMod ------------------------------------------------------------
     def _mul_const(self, ct, c: float):
@@ -177,12 +205,8 @@ class Bootstrapper:
             t0, t1 = self.f_cts(raised)
             y0 = self._cheb(t0)
             y1 = self._cheb(t1)
-            if self.f_stc is None:
-                self.f_stc = FactoredStC(
-                    be, level=be.level(y0), radix_log=self._radix_log,
-                    factor=self._stc_factor,
-                )
-            return self.f_stc(y0, y1)
+            lvl = self.f_stc.first_lo.level  # ghost-planned == actual level
+            return self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
 
         if self.transform == "factored":
             t0, t1 = self.f_cts(raised)

@@ -421,11 +421,13 @@ def _hoisted_galois_core(raised, c0, perm, ctx, ksc, gk, params, level):
     qp_qinv = ctx.qinv_neg[qp_idx][:, None]
     q = ctx.q[:level][:, None]
 
+    from gpufhe_tpu.primitives.keyswitch import key_rows
+
     acc0 = acc1 = None
     for d, r in enumerate(raised):
         rg = jnp.take(r, perm, axis=1)
-        t0 = mont_mul(rg, gk.b_mont[d][qp_idx], qp_q, qp_qinv)
-        t1 = mont_mul(rg, gk.a_mont[d][qp_idx], qp_q, qp_qinv)
+        t0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
+        t1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 
@@ -490,7 +492,7 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
     golden ct_diag_fan (NTT/iNTT cancellation makes the in-coeff-domain
     double rescale identical to repeated ct_rescale).
     """
-    from gpufhe_tpu.primitives.keyswitch import qp_indices
+    from gpufhe_tpu.primitives.keyswitch import key_rows, qp_indices
     from gpufhe_tpu.primitives.rns import mod_down, mod_up
     from gpufhe_tpu.primitives.rns import rescale as rescale_coeff
 
@@ -518,8 +520,8 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
         t0 = t1 = None
         for d, r in enumerate(raised_ntt):
             rg = jnp.take(r, perm, axis=1)
-            u0 = mont_mul(rg, gk.b_mont[d][qp_idx], qp_q, qp_qinv)
-            u1 = mont_mul(rg, gk.a_mont[d][qp_idx], qp_q, qp_qinv)
+            u0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
+            u1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
             t0 = u0 if t0 is None else add_mod(t0, u0, qp_q)
             t1 = u1 if t1 is None else add_mod(t1, u1, qp_q)
         c0g = jnp.take(c0, perm, axis=1)

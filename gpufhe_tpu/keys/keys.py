@@ -103,6 +103,46 @@ class KeyChest:
         return self.conj[1]
 
 
+def truncate_galois_device(
+    chest, step_levels: dict, conj_level: int | None, params: CKKSParams
+) -> None:
+    """Shrink device Galois keys to the highest level each step is used at.
+
+    A gadget key stored over the full chain carries num_limbs + alpha rows;
+    a rotation only ever used at level L needs L + alpha. Pure row selection
+    — every program reads identical values (primitives/keyswitch.py
+    key_rows), so results stay bit-exact — but the resident HBM footprint of
+    e.g. the SlotToCoeff key set drops by (num_limbs - L)/num_limbs. Frees
+    ~2.5 GB of the N=2^16 bootstrap chest (the full-chain set rides the
+    16 GB HBM limit).
+    """
+    import jax
+
+    alpha = len(params.p_primes)
+    full = params.num_limbs
+
+    def trunc(key: DeviceKSKey, lvl: int) -> DeviceKSKey:
+        idx = np.concatenate([np.arange(lvl), np.arange(full, full + alpha)])
+        nk = DeviceKSKey(
+            b_mont=jnp.asarray(key.b_mont[:, idx]),
+            a_mont=jnp.asarray(key.a_mont[:, idx]),
+        )
+        jax.block_until_ready(nk.b_mont)
+        return nk
+
+    for step, lvl in step_levels.items():
+        if step not in chest.galois or lvl >= full:
+            continue
+        golden, key = chest.galois[step]
+        if key.b_mont.shape[1] <= lvl + alpha:
+            continue
+        chest.galois[step] = (golden, trunc(key, lvl))
+    if conj_level is not None and chest.conj is not None and conj_level < full:
+        golden, key = chest.conj
+        if key.b_mont.shape[1] > conj_level + alpha:
+            chest.conj = (golden, trunc(key, conj_level))
+
+
 def keygen(
     params: CKKSParams,
     rng: np.random.Generator,

@@ -37,6 +37,20 @@ def qp_indices(params: CKKSParams, level: int) -> list[int]:
     )
 
 
+def key_rows(comp: jnp.ndarray, params: CKKSParams, level: int) -> jnp.ndarray:
+    """Active QP rows of one gadget-key component, tolerant of LEVEL-TRUNCATED
+    key storage (keys/keys.py truncate_galois_device): a key whose q-prefix
+    was shrunk to exactly the level it is used at needs no row gather at all.
+    Pure row selection — bit-identical values either way."""
+    alpha = len(params.p_primes)
+    stored_l = comp.shape[0] - alpha
+    assert stored_l >= level, (stored_l, level)
+    if stored_l == level:
+        return comp
+    idx = np.concatenate([np.arange(level), np.arange(stored_l, stored_l + alpha)])
+    return comp[idx]
+
+
 def key_switch_core(
     d2: jnp.ndarray,
     params: CKKSParams,
@@ -65,8 +79,8 @@ def key_switch_core(
     acc0 = acc1 = None
     for d, r_coeff in enumerate(raised):
         r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
-        t0 = mont_mul(r, ksk.b_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
-        t1 = mont_mul(r, ksk.a_mont[d][np.asarray(qp_idx)], qp_q, qp_qinv)
+        t0 = mont_mul(r, key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
+        t1 = mont_mul(r, key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 

@@ -49,6 +49,16 @@ def main():
                       evalmod="cheb", k_bound=12.0)
     print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
 
+    # shrink each Galois key to the level it is actually used at (bit-exact
+    # row selection; frees ~2.5 GB of HBM — the full-chain set is marginal)
+    from gpufhe_tpu.keys.keys import truncate_galois_device
+
+    t0 = time.time()
+    steps, conj_lvl = bs.galois_step_levels()
+    truncate_galois_device(chest, steps, conj_lvl, params)
+    print(f"# key truncation {time.time()-t0:.0f}s "
+          f"(stc level {bs.f_stc.first_lo.level})", flush=True)
+
     rng = np.random.default_rng(0)
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
     ct = dct.encrypt(

@@ -38,6 +38,10 @@ def main():
     bs = Bootstrapper(be, transform="factored", radix_log=3,
                       evalmod="cheb", k_bound=12.0)
     print(f"# plans {time.time()-t0:.0f}s", flush=True)
+    from gpufhe_tpu.keys.keys import truncate_galois_device
+    steps, conj_lvl = bs.galois_step_levels()
+    truncate_galois_device(chest, steps, conj_lvl, params)
+    print("# keys truncated", flush=True)
     rng = np.random.default_rng(0)
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
     ct = dct.encrypt(

@@ -243,3 +243,43 @@ def test_fused_diag_fan_backend_parity():
     got2 = dev.decrypt_decode(out_d[1])
     want2 = d1 * np.roll(z, -1) + d2 * np.roll(z, -(params.slots - 1))
     assert np.abs(got2 - want2).max() < 1e-3
+
+
+def test_truncated_galois_keys_bit_exact():
+    """Level-truncated Galois keys (keys.truncate_galois_device) produce
+    bit-identical rotations and fan stages — truncation is pure row
+    selection; key_rows() adapts the kernels to the shrunken storage."""
+    from gpufhe_tpu.keys.keys import truncate_galois_device
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    rots = (1, 3)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=rots, conjugation=True
+    )
+    dev = DeviceBackend(params, ctx, chest)
+    rng = np.random.default_rng(0)
+    ns = params.slots
+    z = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale,
+    )
+    lvl = params.num_limbs - 1
+    ct = dev.drop_to_level(ct, lvl)
+    d1 = rng.normal(size=ns) + 1j * rng.normal(size=ns)
+    sets = [{0: d1, 1: d1, 3: d1}]
+    want_fan = dev.apply_fan(ct, dev.make_fan_plan(sets, lvl))[0]
+    want_rot = dev.rotate_hoisted(ct, [1, 3])
+    want_conj = dev.conjugate(ct)
+
+    truncate_galois_device(chest, {1: lvl, 3: lvl}, lvl, params)
+    assert chest.galois[1][1].b_mont.shape[1] == lvl + len(params.p_primes)
+    got_fan = dev.apply_fan(ct, dev.make_fan_plan(sets, lvl))[0]
+    got_rot = dev.rotate_hoisted(ct, [1, 3])
+    got_conj = dev.conjugate(ct)
+    for w, g in [(want_fan, got_fan), (want_conj, got_conj)] + [
+        (want_rot[s], got_rot[s]) for s in (1, 3)
+    ]:
+        for cw, cg in zip(w.c, g.c):
+            assert (np.asarray(cw) == np.asarray(cg)).all()
