@@ -264,6 +264,12 @@ class DeviceBackend:
     def conjugate(self, ct):
         return self._ct.ct_conjugate(ct, self.params, self.ctx, self.chest.conj_key())
 
+    def key_switch(self, ct, which: str):
+        """Re-encrypt under the encapsulation key `which` ('to_eph' /
+        'from_eph'); see golden ct_key_switch."""
+        ksk = self.chest.eph[which][1]
+        return self._ct.ct_key_switch(ct, self.params, self.ctx, ksk)
+
     def drop_to_level(self, ct, level: int):
         """Mod-switch down by truncating RNS limbs (exact, no scaling)."""
         assert level <= ct.level
@@ -440,6 +446,9 @@ class GoldenBackend:
 
     def conjugate(self, ct):
         return gckks.ct_conjugate(ct, self.params, self.chest.conj[0])
+
+    def key_switch(self, ct, which: str):
+        return gckks.ct_key_switch(ct, self.params, self.chest.eph[which][0])
 
     def drop_to_level(self, ct, level: int):
         assert level <= ct.level

@@ -199,7 +199,16 @@ class Bootstrapper:
         w = self.params.scale_words
         if be.level(ct) > w:
             ct = be.drop_to_level(ct, w)
-        raised = be.mod_raise(ct)
+        eph = getattr(be.chest, "eph", None) if hasattr(be, "chest") else None
+        if eph is not None and hasattr(be, "key_switch"):
+            # sparse-secret encapsulation: ModRaise under the ephemeral
+            # sparse key (small overflow I), full chain stays under the
+            # dense base secret (utils/security.py dense-table claim)
+            ct = be.key_switch(ct, "to_eph")
+            raised = be.mod_raise(ct)
+            raised = be.key_switch(raised, "from_eph")
+        else:
+            raised = be.mod_raise(ct)
 
         if self.evalmod == "cheb":
             t0, t1 = self.f_cts(raised)

@@ -308,6 +308,25 @@ def ct_plain_mac(
     return Ciphertext(list(out), lvl, out_scale)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _keyswitch_ct_core(cs, ctx, ksc, ksk, params, level):
+    c0, c1 = cs
+    q = ctx.q[:level][:, None]
+    ks0, ks1 = key_switch_core(c1, params, level, ctx, ksc, ksk)
+    return add_mod(c0, ks0, q), ks1
+
+
+def ct_key_switch(
+    ct: Ciphertext, params: CKKSParams, ctx: Context, ksk: DeviceKSKey
+) -> Ciphertext:
+    """Re-encrypt under ksk's key (golden ct_key_switch mirror; used by the
+    sparse-secret encapsulation around bootstrap ModRaise)."""
+    assert len(ct.c) == 2
+    ksc = make_ks_context(params, ct.level)
+    out = _keyswitch_ct_core(tuple(ct.c), ctx, ksc, ksk, params, ct.level)
+    return Ciphertext(list(out), ct.level, ct.scale)
+
+
 @functools.lru_cache(maxsize=None)
 def _perm_dev(g: int, n: int) -> jnp.ndarray:
     return jnp.asarray(gckks.automorphism_perm_eval(g, n).astype(np.int32))

@@ -446,6 +446,21 @@ def ct_mul(a: Ciphertext, b: Ciphertext, params: CKKSParams, rlk: KSKey) -> Ciph
     return ct_rescale(ct_relinearize(ct_tensor(a, b, params), params, rlk), params)
 
 
+def ct_key_switch(ct: Ciphertext, params: CKKSParams, ksk: KSKey) -> Ciphertext:
+    """Re-encrypt under the key ksk was generated for (message unchanged).
+
+    Used by sparse-secret encapsulation (Bossuat et al., EUROCRYPT'21
+    pattern): bootstrap ModRaise runs under an ephemeral sparse key that
+    only ever exists at the base modulus, so the security of the full chain
+    is governed by the DENSE base secret (utils/security.py)."""
+    assert len(ct.c) == 2
+    primes = ct.primes(params)
+    ks0, ks1 = key_switch_core(ct.c[1], params, ct.level, ksk)
+    return Ciphertext(
+        [poly_add(ct.c[0], ks0, primes), ks1], ct.level, ct.scale
+    )
+
+
 def ct_rotate(ct: Ciphertext, steps: int, params: CKKSParams, gk: KSKey) -> Ciphertext:
     """Rotate slots left by `steps` (Galois automorphism + key switch)."""
     assert len(ct.c) == 2

@@ -44,6 +44,7 @@ class DeviceKeyChest:
     device_rlk: DeviceKSKey
     galois: dict  # steps -> (None, DeviceKSKey)
     conj: tuple | None
+    eph: dict | None = None  # {"s_eph", "to_eph": (None, key), "from_eph": ...}
 
     def galois_key(self, steps: int) -> DeviceKSKey:
         return self.galois[steps][1]
@@ -181,6 +182,20 @@ def device_keygen(
         jkey, sub = jax.random.split(jkey)
         conj = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng, sub))
 
+    eph = None
+    if params.eph_hamming_weight:
+        s_eph = gckks.sample_sparse_ternary(rng, n, params.eph_hamming_weight)
+        eph_mont = _ntt_mont(s_eph, params, ctx, qp, qp_idx)
+        jkey, k1 = jax.random.split(jkey)
+        jkey, k2 = jax.random.split(jkey)
+        to_eph = _make_ks_key(params, ctx, eph_mont, s_mont_full, rng, k1)
+        from_eph = _make_ks_key(params, ctx, s_mont_full, eph_mont, rng, k2)
+        eph = {
+            "s_eph": s_eph,
+            "to_eph": (None, to_eph),
+            "from_eph": (None, from_eph),
+        }
+
     return DeviceKeyChest(
         params=params,
         sk=gckks.SecretKey(s),
@@ -189,4 +204,5 @@ def device_keygen(
         device_rlk=rlk,
         galois=galois,
         conj=conj,
+        eph=eph,
     )

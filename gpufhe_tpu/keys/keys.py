@@ -91,6 +91,9 @@ class KeyChest:
     device_rlk: DeviceKSKey
     galois: dict  # steps -> (golden KSKey, DeviceKSKey)
     conj: tuple | None  # (golden KSKey, DeviceKSKey)
+    # sparse-secret encapsulation material (params.eph_hamming_weight > 0):
+    # {"s_eph": int64[N], "to_eph": (golden, device), "from_eph": (...)}
+    eph: dict | None = None
 
     def galois_key(self, steps: int) -> DeviceKSKey:
         return self.galois[steps][1]
@@ -160,6 +163,24 @@ def keygen(
     if conjugation:
         ck = gckks.make_conj_key(params, sk, rng)
         conj = (ck, upload_ks_key(ck, params))
+    eph = None
+    if params.eph_hamming_weight:
+        s_eph = gckks.sample_sparse_ternary(rng, params.n, params.eph_hamming_weight)
+        sk_eph = gckks.SecretKey(s_eph)
+
+        def s_fn(primes):
+            return gckks.ntt_limbs(gckks.small_to_rns(sk.s, primes), params, primes)
+
+        def eph_fn(primes):
+            return gckks.ntt_limbs(gckks.small_to_rns(s_eph, primes), params, primes)
+
+        to_eph = gckks.make_kskey(params, s_fn, sk_eph, rng)  # decrypts under eph
+        from_eph = gckks.make_kskey(params, eph_fn, sk, rng)  # decrypts under s
+        eph = {
+            "s_eph": s_eph,
+            "to_eph": (to_eph, upload_ks_key(to_eph, params)),
+            "from_eph": (from_eph, upload_ks_key(from_eph, params)),
+        }
     return KeyChest(
         params=params,
         sk=sk,
@@ -170,4 +191,5 @@ def keygen(
         device_rlk=upload_ks_key(rlk, params),
         galois=galois,
         conj=conj,
+        eph=eph,
     )

@@ -154,6 +154,10 @@ class CKKSParams:
     scale_bits: int  # log2 of the encoding scale Delta
     sigma: float = 3.2  # discrete gaussian error stddev
     hamming_weight: int = 0  # 0 -> dense uniform ternary secret
+    eph_hamming_weight: int = 0  # >0 -> sparse-secret encapsulation for
+    #   bootstrapping: ModRaise runs under an ephemeral sparse key of this
+    #   weight that only ever exists at the base modulus; the full chain
+    #   stays under the (dense) base secret (Bossuat et al. pattern)
     plain_modulus: int = 0  # BGV plaintext modulus t (prime, t = 1 mod 2N); 0 -> CKKS
     scale_words: int = 1  # limbs consumed per rescale (2 -> double-word scale 2^scale_bits)
 
@@ -274,7 +278,10 @@ def preset(name: str) -> CKKSParams:
         # double-word production bootstrap: N=2^16, Delta=2^56,
         # 2x30-bit base + 46 balanced 28-bit limbs (23 double levels);
         # alpha=10 keeps dnum=5 so the 63 factored-transform Galois keys fit
-        # in HBM; log QP ~ 1650 < 1772 (128-bit)
+        # in HBM. DENSE base secret + sparse-secret encapsulation (eph h=32,
+        # only ever at the 60-bit base modulus), so the dense HE-standard
+        # table governs the chain: log QP ~1647 < 1772 -> 128-bit
+        # (utils/security.py; a bare sparse h=64 secret would cap at ~1300)
         n = 2**16
         two_n = 2 * n
         q0 = gen_ntt_primes(30, two_n, 2)
@@ -290,8 +297,14 @@ def preset(name: str) -> CKKSParams:
             qi.extend([picked[i], picked[45 - i]])
         return CKKSParams(
             n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
-            scale_bits=56, hamming_weight=64, scale_words=2,
+            scale_bits=56, scale_words=2, eph_hamming_weight=32,
         )
+    if name == "boot_ci_enc":
+        # sparse-secret ENCAPSULATION bootstrap CI: DENSE base secret (the
+        # HE-standard dense table governs the chain), ephemeral sparse key
+        # (h=16) exists only at the base modulus for ModRaise
+        p = _mk(n=2**7, n_q=13, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, eph_hamming_weight=16)
     if name == "boot_ci_cheb":
         # Chebyshev-EvalMod bootstrap CI: CtS 2 + cheb ~7 + StC 2 levels
         p = _mk(n=2**7, n_q=13, n_p=3, scale_bits=28)
@@ -299,6 +312,11 @@ def preset(name: str) -> CKKSParams:
     if name == "bgv_ci":
         # RNS-BGV at CI scale: exact integer slots mod a 16-bit prime t
         p = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+        t = gen_ntt_primes(16, 2 * p.n, 1)[0]
+        return dataclasses.replace(p, plain_modulus=t)
+    if name == "bgv_tiny":
+        # smallest BGV context (backend/linalg CI: 128-slot rings)
+        p = _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
         t = gen_ntt_primes(16, 2 * p.n, 1)[0]
         return dataclasses.replace(p, plain_modulus=t)
     if name == "boot_ci":

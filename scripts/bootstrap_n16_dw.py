@@ -67,7 +67,7 @@ def main():
     )
     t0 = time.time()
     out = bs(ct)
-    jax.block_until_ready(out.c)
+    _ = np.asarray(out.c[0][0, :4])  # host read: hard sync through the tunnel
     first = time.time() - t0
     print(f"# compile+first {first:.0f}s", flush=True)
     times = []
@@ -75,19 +75,29 @@ def main():
         miss0 = be.encode_misses
         t0 = time.time()
         out = bs(ct)
-        jax.block_until_ready(out.c)
+        # a host READ of the result cannot complete before the producing
+        # computation — honest wall clock even if block_until_ready returns
+        # early through the tunnel (probe measured 0.148s async vs 0.755s
+        # read-synced; we report the read-synced number)
+        _ = np.asarray(out.c[0][0, :4])
         times.append(time.time() - t0)
         print(f"#   iter {times[-1]:.2f}s, encode misses {be.encode_misses - miss0}",
               flush=True)
     steady = min(times)
-    print(f"# steady iterations: {[round(t,2) for t in times]}", flush=True)
+    print(f"# steady iterations (read-synced): {[round(t,2) for t in times]}",
+          flush=True)
     err = float(np.abs(be.decrypt_decode(out) - z).max())
-    print(json.dumps({
+    result = {
         "demo": "ckks_bootstrap_doubleword", "N": params.n, "L": params.num_limbs,
         "slots": params.slots, "scale_bits": params.scale_bits,
         "out_level": out.level, "out_double_levels": out.level // 2,
         "steady_s": round(steady, 3), "first_s": round(first, 1), "max_err": err,
-    }), flush=True)
+        "security": report(params), "timing": "read-synced",
+    }
+    print(json.dumps(result), flush=True)
+    # checked-in artifact so bench.py can echo the flagship number
+    art = pathlib.Path(__file__).resolve().parents[1] / "BOOT_N16_DW.json"
+    art.write_text(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

@@ -283,3 +283,32 @@ def test_truncated_galois_keys_bit_exact():
     ]:
         for cw, cg in zip(w.c, g.c):
             assert (np.asarray(cw) == np.asarray(cg)).all()
+
+
+@pytest.mark.slow
+def test_full_bootstrap_sparse_encapsulation():
+    """Dense base secret + ephemeral sparse key for ModRaise (Bossuat et al.
+    pattern): the full chain's security is governed by the dense table while
+    the ModRaise overflow stays small. Message must survive the two extra
+    key switches."""
+    params = preset("boot_ci_enc")
+    assert params.hamming_weight == 0 and params.eph_hamming_weight == 16
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=3)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    assert chest.eph is not None
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(
+        be, transform="factored", radix_log=3, evalmod="cheb", k_bound=5.0
+    )
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=1,
+    )
+    out = bs(ct)
+    assert out.level >= 2
+    assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
