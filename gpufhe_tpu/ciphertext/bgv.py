@@ -189,3 +189,24 @@ def ct_rotate(ct: BGVCiphertext, steps: int, params, ctx, gk: DeviceKSKey):
         tuple(ct.c), dct._perm_dev(g, params.n), ctx, ksc, gk, params, ct.level
     )
     return BGVCiphertext(list(out), ct.level, ct.pt_factor)
+
+
+def ct_rotate_hoisted(ct: BGVCiphertext, steps_list, params, ctx, gks: dict) -> list:
+    """Rotate by many step counts sharing ONE decomposition (device).
+
+    Reuses the CKKS hoist/galois cores unchanged — the BGV t-corrected
+    ModDown lives in the KSContext tables (primitives/rns.py
+    make_ks_context). Bit-exact vs golden/bgv.py ct_rotate_hoisted.
+    gks maps steps -> DeviceKSKey."""
+    assert len(ct.c) == 2
+    ksc = make_ks_context(params, ct.level)
+    raised = dct._hoist_core(ct.c[1], ctx, ksc, params, ct.level)
+    out = []
+    for steps in steps_list:
+        g = gckks.galois_exponent(steps, params.n)
+        c0, c1 = dct._hoisted_galois_core(
+            raised, ct.c[0], dct._perm_dev(g, params.n), ctx, ksc, gks[steps],
+            params, ct.level,
+        )
+        out.append(BGVCiphertext([c0, c1], ct.level, ct.pt_factor))
+    return out

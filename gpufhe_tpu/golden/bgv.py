@@ -346,3 +346,78 @@ def ct_rotate(ct: BGVCiphertext, steps: int, params, gk) -> BGVCiphertext:
     return BGVCiphertext(
         [gckks.poly_add(c0g, ks0, primes), ks1], ct.level, ct.pt_factor
     )
+
+
+def _hoisted_key_switch_bgv(raised, perm, params, level, ksk):
+    """gckks._hoisted_key_switch with the BGV t-corrected ModDown."""
+    q_primes = params.q_primes[:level]
+    p_primes = params.p_primes
+    qp_active = q_primes + p_primes
+    k = level
+    alpha = len(p_primes)
+    acc0 = np.zeros((k + alpha, params.n), dtype=np.int64)
+    acc1 = np.zeros_like(acc0)
+    qp_idx = list(range(k)) + list(range(params.num_limbs, params.num_limbs + alpha))
+    for d, r in enumerate(raised):
+        rg = r[:, perm]
+        kb = ksk.b[d][qp_idx]
+        ka = ksk.a[d][qp_idx]
+        acc0 = gckks.poly_add(acc0, gckks.poly_mul(rg, kb, qp_active), qp_active)
+        acc1 = gckks.poly_add(acc1, gckks.poly_mul(rg, ka, qp_active), qp_active)
+    out = []
+    for acc in (acc0, acc1):
+        coeff = gckks.intt_limbs(acc, params, qp_active)
+        down = mod_down_coeff_bgv(coeff, params, q_primes)
+        out.append(gckks.ntt_limbs(down, params, q_primes))
+    return out[0], out[1]
+
+
+def ct_rotate_hoisted(ct: BGVCiphertext, steps_list, params, gks: dict) -> list:
+    """Rotate by many step counts sharing ONE gadget decomposition.
+
+    BGV mirror of gckks.ct_rotate_hoisted (hoist_decompose is scheme-
+    agnostic — it only touches c1 over the Q basis; the scheme enters at
+    ModDown, t-corrected here). gks maps steps -> KSKey."""
+    assert len(ct.c) == 2
+    primes = ct.primes(params)
+    raised = gckks.hoist_decompose(ct, params)
+    out = []
+    for steps in steps_list:
+        g = gckks.galois_exponent(steps, params.n)
+        perm = gckks.automorphism_perm_eval(g, params.n)
+        ks0, ks1 = _hoisted_key_switch_bgv(raised, perm, params, ct.level, gks[steps])
+        c0g = ct.c[0][:, perm]
+        out.append(BGVCiphertext(
+            [gckks.poly_add(c0g, ks0, primes), ks1], ct.level, ct.pt_factor
+        ))
+    return out
+
+
+def slot_orbit_rings(params: CKKSParams) -> np.ndarray:
+    """Orbit (hypercube) ordering of the N integer slots: int[2, N/2].
+
+    rings[r, k] is the raw slot index at position k of ring r; rotation by
+    one step (the 5^1 automorphism) maps position k -> k-1 cyclically WITHIN
+    each ring, so in orbit order `ct_rotate(ct, s)` is a plain left-rotation
+    by s of both rings — the semantics the BSGS linear-algebra layer
+    (ciphertext/linalg.py) assumes. Derived empirically from
+    slot_rotation_perm so it is robust to NTT ordering conventions."""
+    n = params.n
+    perm = slot_rotation_perm(params, 1)  # rotated[j] = orig[perm[j]]
+    # follow the two cycles of the permutation j -> perm[j]
+    seen = np.zeros(n, dtype=bool)
+    rings = []
+    for start in range(n):
+        if seen[start]:
+            continue
+        cyc = []
+        j = start
+        while not seen[j]:
+            seen[j] = True
+            cyc.append(j)
+            j = int(perm[j])
+        rings.append(cyc)
+    assert len(rings) == 2 and all(len(r) == n // 2 for r in rings), (
+        f"expected two N/2 slot orbits, got {[len(r) for r in rings]}"
+    )
+    return np.array(rings, dtype=np.int64)

@@ -18,7 +18,7 @@ from gpufhe_tpu.params.params import preset
 def stack():
     params = preset("bgv_ci")
     ctx = make_context(params)
-    chest = dbgv.keygen(params, np.random.default_rng(7), rotations=(1,))
+    chest = dbgv.keygen(params, np.random.default_rng(7), rotations=(1, 2, 5))
     return params, ctx, chest
 
 
@@ -111,3 +111,87 @@ def test_bgv_rotation_exact(stack):
     assert (
         dbgv.decrypt_decode(rot_dev, params, chest.device_sk, ctx) == (z % t)[perm]
     ).all()
+
+
+def test_bgv_rotate_hoisted_parity(stack):
+    """Hoisted fan == per-step rotations, device == golden (bit-exact)."""
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    z = np.random.default_rng(4).integers(0, t, size=params.n)
+    ct_dev, ct_gold = _enc_both(params, ctx, chest, z, seed=51)
+
+    steps = [1, 2, 5]
+    gks_g = {s: chest.galois[s][0] for s in steps}
+    gks_d = {s: chest.galois[s][1] for s in steps}
+    outs_g = gbgv.ct_rotate_hoisted(ct_gold, steps, params, gks_g)
+    outs_d = dbgv.ct_rotate_hoisted(ct_dev, steps, params, ctx, gks_d)
+    for s, og, od in zip(steps, outs_g, outs_d):
+        # device mirrors golden bit-exactly; vs the NON-hoisted rotation the
+        # limbs differ (the approximate ModUp sees the automorphism on the
+        # other side of the base conversion) but decryption is identical.
+        _assert_equal(od, og)
+        perm = gbgv.slot_rotation_perm(params, s)
+        assert (
+            dbgv.decrypt_decode(od, params, chest.device_sk, ctx) == (z % t)[perm]
+        ).all()
+
+
+def test_bgv_slot_orbit_rings(stack):
+    """In orbit order, rotation by s is a plain left-roll of each ring."""
+    params, ctx, chest = stack
+    t = params.plain_modulus
+    rings = gbgv.slot_orbit_rings(params)
+    assert rings.shape == (2, params.n // 2)
+    assert sorted(rings.reshape(-1).tolist()) == list(range(params.n))
+    z = np.random.default_rng(5).integers(0, t, size=params.n)
+    for s in (1, 2, 5):
+        perm = gbgv.slot_rotation_perm(params, s)
+        rot = (z % t)[perm]
+        for r in range(2):
+            assert (rot[rings[r]] == np.roll(z[rings[r]] % t, -s)).all()
+
+
+def test_bgv_backend_matvec_exact():
+    """linalg BSGS matmul on BGV backends: exact A @ v mod t, device ==
+    golden limb-for-limb (VERDICT round-1 item 10)."""
+    from gpufhe_tpu.ciphertext import linalg
+    from gpufhe_tpu.ciphertext.bgv_backend import (
+        BGVDeviceBackend,
+        BGVGoldenBackend,
+    )
+
+    params = preset("bgv_tiny")
+    ctx = make_context(params)
+    n_s = params.slots
+    rots = tuple(linalg.bsgs_rotations(n_s))
+    chest = dbgv.keygen(params, np.random.default_rng(9), rotations=rots)
+    t = params.plain_modulus
+
+    rng = np.random.default_rng(6)
+    a_mat = rng.integers(0, t, size=(n_s, n_s))
+    v = rng.integers(0, t, size=(2, n_s))  # independent vector per ring
+
+    g_be = BGVGoldenBackend(params, chest)
+    d_be = BGVDeviceBackend(params, ctx, chest)
+    rings = g_be.rings
+    raw = np.empty(params.n, dtype=np.int64)
+    raw[rings[0]], raw[rings[1]] = v[0], v[1]
+    pt = gbgv.encode(raw, params)
+    ct_g = gbgv.encrypt(pt, params, chest.pk, np.random.default_rng(61))
+    ct_d = dbgv.encrypt(pt, params, chest.device_pk, ctx, np.random.default_rng(61))
+    _assert_equal(ct_d, ct_g)
+
+    out_g = linalg.matmul_plain(g_be, ct_g, a_mat)
+    out_d = linalg.matmul_plain(d_be, ct_d, a_mat)
+    _assert_equal(out_d, out_g)
+
+    want = a_mat.astype(object) @ v.T.astype(object) % t  # [n_s, 2]
+    got = d_be.decrypt_decode(out_d)  # [2, n_s]
+    assert (got == want.T.astype(np.int64)).all()
+
+    # add_plain: exact slot addition on both backends
+    d = rng.integers(0, t, size=(2, n_s))
+    s_g = g_be.add_plain(ct_g, d)
+    s_d = d_be.add_plain(ct_d, d)
+    _assert_equal(s_d, s_g)
+    assert (d_be.decrypt_decode(s_d) == (v + d) % t).all()

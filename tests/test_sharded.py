@@ -191,6 +191,40 @@ def test_sharded_bgv_mult_matches_single_chip(mesh):
     assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
 
 
+def test_sharded_bgv_rotation_matches_single_chip(mesh):
+    """Sharded BGV rotate: the t-corrected ModDown rides the same galois
+    program via the KS tables (VERDICT round-1 item 10)."""
+    from gpufhe_tpu.ciphertext import bgv as dbgv
+    from gpufhe_tpu.golden import bgv as gbgv
+
+    params = preset("bgv_ci")
+    ctx = make_context(params)
+    chest = dbgv.keygen(params, np.random.default_rng(7), rotations=(3,))
+    t = params.plain_modulus
+    z = np.random.default_rng(8).integers(0, t, size=params.n)
+    ct = dbgv.encrypt(gbgv.encode(z, params), params, chest.device_pk, ctx,
+                      np.random.default_rng(33))
+    want = dbgv.ct_rotate(ct, 3, params, ctx, chest.galois[3][1])
+
+    run, prepare = sh.make_sharded_rotation(params, ct.level, mesh, 3)
+    bundle = prepare(chest.galois[3][1])
+    c0 = sh.shard_ct_component(ct.c[0], params, mesh)
+    c1 = sh.shard_ct_component(ct.c[1], params, mesh)
+    o0, o1 = run(c0, c1, bundle)
+    assert (sh.unshard_ct_component(o0) == np.asarray(want.c[0])).all()
+    assert (sh.unshard_ct_component(o1) == np.asarray(want.c[1])).all()
+    got = dbgv.decrypt_decode(
+        dbgv.BGVCiphertext(
+            [jnp.asarray(sh.unshard_ct_component(o0)),
+             jnp.asarray(sh.unshard_ct_component(o1))],
+            want.level, want.pt_factor,
+        ),
+        params, chest.device_sk, ctx,
+    )
+    perm = gbgv.slot_rotation_perm(params, 3)
+    assert (got == (z % t)[perm]).all()
+
+
 @pytest.mark.slow
 def test_sharded_backend_factored_transform_round_trip(mesh):
     """fftboot's CtS/StC running entirely on the ShardedBackend: the full
