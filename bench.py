@@ -1,66 +1,101 @@
 """Benchmark: CKKS homomorphic multiply (tensor+relin+rescale) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per headline metric; the LAST line is the primary
+N=2^16 L=30 mult headline (the BASELINE.json config-5 scale).
 
-The headline config is BASELINE.json config 5 scale: N=2^16, L=30 q-primes,
-alpha=5 special primes (dnum=6 hybrid key-switching). Latency is measured on
-a chain of data-dependent mult steps inside one jit (optimization_barrier
-between steps), so inter-op pipelining cannot hide real latency and per-call
-dispatch overhead is amortized away.
+Latency is measured on a chain of data-dependent mult steps inside one jit
+(optimization_barrier between steps), so inter-op pipelining cannot hide
+real latency and per-call dispatch overhead is amortized away.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
 achieved fraction of an HBM speed-of-light estimate for the op: every
 limb-transform streams its polynomial block + its per-limb NTT tables once
 (the fused Pallas kernel keeps all digit partials in VMEM, ops/ntt_pallas.py)
-plus the elementwise MAC/base-conversion passes.
+plus the elementwise MAC/base-conversion passes. The estimate is
+cross-checked against XLA's own cost analysis of the compiled executable
+("bytes accessed" of the post-fusion HLO) — both numbers are printed.
+
+Also echoed (when the artifact exists): the flagship N=2^16 double-word
+bootstrap steady-state from scripts/bootstrap_n16_dw.py (BOOT_N16_DW.json,
+read-synced timing on this chip).
 
 Env overrides: BENCH_PRESET (default config5_boot), BENCH_CHAIN, BENCH_ITERS,
-PEAK_HBM_GBPS.
+BENCH_DW=0 to skip the double-word headline, PEAK_HBM_GBPS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pathlib
 import time
 
 import numpy as np
 
 
-def main():
+def _traffic_estimate(params, level, hbm_bw):
+    """Analytic HBM traffic model for one fused mult (see module doc)."""
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n1, n2 = fourstep_split(params.n)
+    alpha, dnum, k = params.alpha, params.dnum, level
+    w = params.scale_words
+    limb_bytes = params.n * 4
+    # limb-transforms per mult (iNTT d2, dnum modup NTTs, 2 iNTT + 2 NTT in
+    # mod-down, rescale's 2x(iNTT K + NTT K-w) chained over w words)
+    n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * k + 2 * (k - w)
+    # per limb-transform: x in + out + (wl + wr digits + tw) tables
+    tf_traffic = n_limb_tf * (2 * limb_bytes + 4 * n1 * n1 + 4 * n2 * n2 + limb_bytes)
+    # elementwise passes (tensor 3x, MAC 2*dnum, mod-down/rescale ~8) r+w
+    ew_traffic = (3 + 2 * dnum + 8) * 3 * k * limb_bytes
+    total = tf_traffic + ew_traffic
+    return total, total / hbm_bw
+
+
+def _xla_bytes_accessed(compiled, chain):
+    """XLA cost-analysis byte count per mult for the compiled chain, or None."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        b = ca.get("bytes accessed")
+        if b:
+            return float(b) / chain
+    except Exception:
+        pass
+    return None
+
+
+def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
+    """Chained-latency benchmark of the fused production mult at a preset."""
     import jax
 
     from __graft_entry__ import _random_ct, _random_key, _setup
-    from gpufhe_tpu.ciphertext.ct import _relin_core, _rescale_core, _tensor_core
-    from gpufhe_tpu.ops.context import fourstep_split
-
-    preset_name = os.environ.get("BENCH_PRESET", "config5_boot")
-    chain = int(os.environ.get("BENCH_CHAIN", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    hbm_bw = float(os.environ.get("PEAK_HBM_GBPS", 819e9))
+    from gpufhe_tpu.ciphertext.ct import _mul_full_core
+    from gpufhe_tpu.primitives.rns import make_ks_context
 
     t0 = time.time()
-    params, ctx, level, ksc = _setup(preset_name)
+    params, ctx, level, _ = _setup(preset_name)
+    kscs = tuple(
+        make_ks_context(params, level - w) for w in range(params.scale_words)
+    )
     rng = np.random.default_rng(0)
     rlk = _random_key(params, rng)
     a0, a1 = _random_ct(params, level, rng)
     b0, b1 = _random_ct(params, level, rng)
-    print(f"# setup {time.time() - t0:.1f}s  N={params.n} L={level} "
-          f"alpha={params.alpha} dnum={params.dnum}", flush=True)
-
-    def one_mult(a0, a1, b0, b1):
-        cs = _tensor_core((a0, a1), (b0, b1), ctx, level)
-        c0, c1 = _relin_core(cs, ctx, ksc, rlk, params, level)
-        return _rescale_core((c0, c1), ctx, ksc, params, level)
+    print(f"# [{preset_name}] setup {time.time() - t0:.1f}s  N={params.n} "
+          f"L={level} alpha={params.alpha} dnum={params.dnum} "
+          f"scale_words={params.scale_words}", flush=True)
 
     @jax.jit
     def step_chain(a0, a1, b0, b1):
-        # fori_loop: one compiled mult body, `chain` data-dependent iterations
-        # (barriers tie both outputs into the carry so nothing is DCE'd and
-        # iteration i+1 cannot start before i finishes)
+        # fori_loop: one compiled production-mult body (_mul_full_core:
+        # tensor + relin + scale_words chained rescales), `chain`
+        # data-dependent iterations (barriers tie both outputs into the
+        # carry so nothing is DCE'd and iteration i+1 cannot start before i)
         def body(_, carry):
             a0, a1, b0, b1 = carry
-            r0, r1 = one_mult(a0, a1, b0, b1)
+            r0, r1 = _mul_full_core((a0, a1), (b0, b1), ctx, kscs, rlk, params)
             a0 = jax.lax.optimization_barrier((a0, r0))[0]
             a1 = jax.lax.optimization_barrier((a1, r1))[0]
             return (a0, a1, b0, b1)
@@ -68,39 +103,88 @@ def main():
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
     t0 = time.time()
-    out = step_chain(a0, a1, b0, b1)
+    lowered = step_chain.lower(a0, a1, b0, b1)
+    compiled = lowered.compile()
+    print(f"# [{preset_name}] compile {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    out = compiled(a0, a1, b0, b1)
     jax.block_until_ready(out)
-    print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
+    print(f"# [{preset_name}] first {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
     for _ in range(iters):
-        out = step_chain(a0, a1, b0, b1)
-    jax.block_until_ready(out)
+        out = compiled(*out)
+    # host read: hard sync even if block_until_ready returns early through
+    # the axon tunnel (scripts/bootstrap_n16_probe.py measured that)
+    _ = np.asarray(out[0][0, :4])
     dt = (time.time() - t0) / (iters * chain)
     ops_per_s = 1.0 / dt
 
-    # --- HBM speed-of-light estimate ---
-    n1, n2 = fourstep_split(params.n)
-    alpha, dnum, k = params.alpha, params.dnum, level
-    limb_bytes = params.n * 4
-    # limb-transforms per mult (iNTT d2, dnum modup NTTs, 2 iNTT + 2 NTT in
-    # mod-down, rescale's 2x(iNTT K + NTT K-1))
-    n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * k + 2 * (k - 1)
-    # per limb-transform: x in + out + (wl + wr digits + tw) tables
-    tf_traffic = n_limb_tf * (2 * limb_bytes + 4 * n1 * n1 + 4 * n2 * n2 + limb_bytes)
-    # elementwise passes (tensor 3x, MAC 2*dnum, mod-down/rescale ~8) r+w
-    ew_traffic = (3 + 2 * dnum + 8) * 3 * k * limb_bytes
-    sol_s = (tf_traffic + ew_traffic) / hbm_bw
-    print(f"# {dt*1e3:.3f} ms/mult; est. traffic "
-          f"{(tf_traffic+ew_traffic)/1e6:.0f} MB -> HBM SoL {sol_s*1e3:.3f} ms "
+    est_bytes, sol_s = _traffic_estimate(params, level, hbm_bw)
+    xla_bytes = _xla_bytes_accessed(compiled, chain)
+    if xla_bytes:
+        ratio = est_bytes / xla_bytes
+        print(f"# [{preset_name}] traffic: model {est_bytes/1e6:.0f} MB vs "
+              f"XLA cost-analysis {xla_bytes/1e6:.0f} MB "
+              f"(model/XLA = {ratio:.2f})", flush=True)
+    else:
+        print(f"# [{preset_name}] traffic: model {est_bytes/1e6:.0f} MB "
+              f"(XLA cost analysis unavailable on this backend)", flush=True)
+    print(f"# [{preset_name}] {dt*1e3:.3f} ms/mult -> HBM SoL {sol_s*1e3:.3f} ms "
           f"({1/sol_s:.0f} mult/s)", flush=True)
 
-    print(json.dumps({
-        "metric": f"ckks_mult_relin_rescale_N{params.n}_L{level}",
+    return {
+        "metric": f"ckks_mult_relin_rescale_N{params.n}_L{level}"
+                  + ("_dw" if params.scale_words == 2 else ""),
         "value": round(ops_per_s, 3),
         "unit": "ops/s/chip",
         "vs_baseline": round(ops_per_s * sol_s, 4),
-    }))
+        "traffic_model_mb": round(est_bytes / 1e6),
+        "traffic_xla_mb": round(xla_bytes / 1e6) if xla_bytes else None,
+    }
+
+
+def main():
+    import jax
+
+    # persistent compile cache (the tunneled compiler is slow; repeat driver
+    # runs should hit disk)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    preset_name = os.environ.get("BENCH_PRESET", "config5_boot")
+    chain = int(os.environ.get("BENCH_CHAIN", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    hbm_bw = float(os.environ.get("PEAK_HBM_GBPS", 819e9))
+
+    # flagship bootstrap artifact (produced on this chip by
+    # scripts/bootstrap_n16_dw.py with read-synced timing)
+    art = pathlib.Path(__file__).resolve().parent / "BOOT_N16_DW.json"
+    if art.exists():
+        b = json.loads(art.read_text())
+        print(json.dumps({
+            "metric": "ckks_bootstrap_N65536_doubleword_steady",
+            "value": b["steady_s"],
+            "unit": "s",
+            # fraction of the 5 s round-2 target budget used (lower = better)
+            "vs_baseline": round(b["steady_s"] / 5.0, 3),
+            "max_err": b["max_err"],
+            "source": "BOOT_N16_DW.json (scripts/bootstrap_n16_dw.py)",
+        }), flush=True)
+
+    # secondary headline: the production bootstrap chain (L=48 double-word)
+    if os.environ.get("BENCH_DW", "1") != "0":
+        try:
+            print(json.dumps(bench_mult("config5_boot_dw", chain, iters, hbm_bw)),
+                  flush=True)
+        except Exception as e:  # never let the secondary kill the primary
+            print(f"# dw headline failed: {type(e).__name__}: {e}", flush=True)
+
+    # primary headline LAST (driver parses the final JSON line)
+    print(json.dumps(bench_mult(preset_name, chain, iters, hbm_bw)), flush=True)
 
 
 if __name__ == "__main__":

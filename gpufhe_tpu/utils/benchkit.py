@@ -93,6 +93,64 @@ def bench_all(preset_name: str = "config5_boot", iters: int = 20) -> list[dict]:
     f = jax.jit(lambda a: ntt_inv(a, ctx, limbs=np.arange(L)))
     row("ntt_inv", time_it(f, x, iters=iters), bytes_moved=6 * 4 * L * n, macs=macs)
 
+    # --- RNS base conversion + hybrid key switch (BASELINE: every modular
+    # kernel against a roofline) -----------------------------------------
+    from gpufhe_tpu.primitives import keyswitch as ksw
+    from gpufhe_tpu.primitives import rns
+    from gpufhe_tpu.keys.keys import keygen
+
+    level = L
+    alpha = params.alpha
+    dnum = params.dnum
+    ksc = rns.make_ks_context(params, level)
+
+    # ModUp: read K coeff limbs, write dnum x (K+alpha) raised limbs
+    f = jax.jit(lambda a: rns.mod_up(a, params, level, ctx, ksc))
+    row("mod_up", time_it(f, x, iters=iters),
+        bytes_moved=4 * n * (L + dnum * (L + alpha)))
+
+    xp = jnp.asarray(rng.integers(
+        0, np.concatenate([q, np.asarray(params.p_primes, np.uint32)])[:, None],
+        size=(L + alpha, n), dtype=np.uint32,
+    ))
+    # ModDown: read K+alpha, one base-convert pass (K r/w) + diff/scale (K r/w)
+    f = jax.jit(lambda a: rns.mod_down(a, params, level, ctx, ksc))
+    row("mod_down", time_it(f, xp, iters=iters),
+        bytes_moved=4 * n * (L + alpha + 3 * L))
+
+    # fused key-switch MAC: per gadget group read raised poly + two key rows,
+    # accumulate two sums (accumulators assumed fused/register-resident)
+    chest = keygen(params, np.random.default_rng(1))
+    ksk = chest.device_rlk
+    qp_idx = np.asarray(ksw.qp_indices(params, level))
+    qp_q = ctx.q[qp_idx][:, None]
+    qp_qinv = ctx.qinv_neg[qp_idx][:, None]
+    raised = jnp.stack([xp] * dnum)
+
+    @jax.jit
+    def ks_mac(r_all):
+        acc0 = acc1 = None
+        for d in range(dnum):
+            r = r_all[d]
+            t0 = modops.mont_mul(
+                r, ksw.key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
+            t1 = modops.mont_mul(
+                r, ksw.key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
+            acc0 = t0 if acc0 is None else modops.add_mod(acc0, t0, qp_q)
+            acc1 = t1 if acc1 is None else modops.add_mod(acc1, t1, qp_q)
+        return acc0, acc1
+
+    row("ks_mac", time_it(ks_mac, raised, iters=iters),
+        bytes_moved=4 * n * (L + alpha) * (3 * dnum + 2))
+
+    # full hybrid key switch (iNTT + ModUp + dnum NTTs + MAC + 2x(iNTT +
+    # ModDown + NTT)): transform traffic dominates
+    f = jax.jit(lambda a: ksw.key_switch_core(a, params, level, ctx, ksc, ksk))
+    n_tf = L + dnum * (L + alpha) + 2 * (L + alpha) + 2 * L
+    row("key_switch", time_it(f, x, iters=iters),
+        bytes_moved=n_tf * (2 * 4 * n + 4 * n1 * n1 + 4 * n2 * n2 + 4 * n)
+        + 4 * n * (L + alpha) * (3 * dnum + 2))
+
     return rows
 
 
