@@ -74,6 +74,45 @@ def _cmd_demo_logreg(args):
     }))
 
 
+def _cmd_demo_bgv(args):
+    """Exact encrypted integer linear algebra: A @ v mod t on BGV slots."""
+    from gpufhe_tpu.ciphertext import bgv as dbgv
+    from gpufhe_tpu.ciphertext import linalg
+    from gpufhe_tpu.ciphertext.bgv_backend import BGVDeviceBackend
+    from gpufhe_tpu.golden import bgv as gbgv
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    assert params.plain_modulus, f"{args.preset} is not a BGV preset"
+    ctx = make_context(params)
+    n_s = params.slots
+    rots = tuple(linalg.bsgs_rotations(n_s))
+    chest = dbgv.keygen(params, np.random.default_rng(0), rotations=rots)
+    t = params.plain_modulus
+
+    rng = np.random.default_rng(1)
+    a_mat = rng.integers(0, t, size=(n_s, n_s))
+    v = rng.integers(0, t, size=(2, n_s))  # one vector per slot ring
+    be = BGVDeviceBackend(params, ctx, chest)
+    raw = np.empty(params.n, dtype=np.int64)
+    raw[be.rings[0]], raw[be.rings[1]] = v[0], v[1]
+    ct = dbgv.encrypt(
+        gbgv.encode(raw, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2),
+    )
+    out = linalg.matmul_plain(be, ct, a_mat)
+    got = be.decrypt_decode(out)
+    want = (a_mat.astype(object) @ v.T.astype(object) % t).T.astype(np.int64)
+    print(json.dumps({
+        "demo": "bgv_exact_matvec",
+        "preset": args.preset,
+        "t": t,
+        "slots_per_ring": n_s,
+        "exact": bool((got == want).all()),
+    }))
+
+
 def _cmd_scaling(args):
     from gpufhe_tpu.parallel.multihost import scaling_report
     from gpufhe_tpu.params.params import preset
@@ -165,6 +204,12 @@ def main(argv=None):
     d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
     d.add_argument("--preset", default="ci_small")
     d.set_defaults(fn=_cmd_demo_logreg)
+
+    bg = sub.add_parser(
+        "demo-bgv", help="exact encrypted integer matvec on BGV slots"
+    )
+    bg.add_argument("--preset", default="bgv_tiny")
+    bg.set_defaults(fn=_cmd_demo_bgv)
 
     w = sub.add_parser("scaling", help="sharded-mult scaling report over mesh shapes")
     w.add_argument("--preset", default="tiny2")

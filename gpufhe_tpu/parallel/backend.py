@@ -8,9 +8,10 @@ mesh") with no changes to the orchestration code.
 
 Representation: a ShardedCiphertext holds eval3d components [K, n1, n2]
 with NamedSharding P(None, 'coeff', None); keys/tables ride in pre-sharded
-bundles cached per (level, key identity). Rotations use the single-rotation
-sharded program (numerically equivalent to the hoisted path; the hoisted
-sharing optimization across steps is future work).
+bundles cached per (level, key identity). Multi-step rotate_hoisted runs
+the shared-hoist fan program (one ModUp + NTT + all_gather for the whole
+fan, sharded.py make_sharded_hoisted_fan); single steps use the standalone
+rotation program.
 """
 
 from __future__ import annotations
@@ -206,13 +207,39 @@ class ShardedBackend:
             key = self.chest.galois_key(steps)
         return prepare(key)
 
+    @functools.lru_cache(maxsize=None)
+    def _hoisted_fan_plan(self, level, steps_tuple):
+        from gpufhe_tpu.golden.ckks import galois_exponent
+
+        run, prepare = sh.make_sharded_hoisted_fan(
+            self.params, level, self.mesh, len(steps_tuple)
+        )
+        bundle = prepare([self.chest.galois_key(s) for s in steps_tuple])
+        lins = jax.device_put(
+            jnp.asarray(
+                np.stack(
+                    [sh._perm_lin_e3(galois_exponent(s, self.params.n),
+                                     self.n1, self.n2) for s in steps_tuple]
+                )
+            ),
+            NamedSharding(self.mesh, P(None, "coeff", None)),
+        )
+        return run, lins, bundle
+
     def rotate_hoisted(self, ct, steps_list):
-        out = {}
-        for steps in steps_list:
+        steps_tuple = tuple(steps_list)
+        if len(steps_tuple) == 1:
+            steps = steps_tuple[0]
             run, _ = sh.make_sharded_rotation(self.params, ct.level, self.mesh, steps)
             c0, c1 = run(ct.c[0], ct.c[1], self._rot_bundle(ct.level, steps))
-            out[steps] = ShardedCiphertext([c0, c1], ct.level, ct.scale)
-        return out
+            return {steps: ShardedCiphertext([c0, c1], ct.level, ct.scale)}
+        # shared-hoist fan: one ModUp + NTT + all_gather for the whole list
+        run, lins, bundle = self._hoisted_fan_plan(ct.level, steps_tuple)
+        outs = run(ct.c[0], ct.c[1], lins, bundle)
+        return {
+            s: ShardedCiphertext([c0, c1], ct.level, ct.scale)
+            for s, (c0, c1) in zip(steps_tuple, outs)
+        }
 
     def conjugate(self, ct):
         steps_id = 2 * self.params.n - 1  # conj automorphism marker

@@ -765,6 +765,135 @@ def make_sharded_fan(
 
 
 @functools.lru_cache(maxsize=None)
+def make_sharded_hoisted_fan(
+    params: CKKSParams, level: int, mesh: Mesh, n_offsets: int
+):
+    """Hoisted rotation fan: MANY rotations of one ciphertext, ONE program.
+
+    The mesh mirror of ct_rotate_hoisted (ciphertext/ct.py): decompose +
+    ModUp + NTT of c1 happens ONCE for the whole fan, the raised gadget
+    polys and c0 are all_gathered over the coeff axis ONCE, then each
+    rotation is a local permuted MAC + its own exact limb allreduce +
+    ModDown. Outputs stay at `level` (no plaintext MACs, no rescale —
+    the general-purpose backend rotate_hoisted path; the diagonal-fan
+    stage with folded plaintexts is make_sharded_fan).
+
+    Returns (run, prepare): prepare(gk_list) -> bundle;
+    run(c0, c1, lins, bundle) -> list of (c0', c1') eval3d pairs.
+    """
+    n_limb = mesh.shape["limb"]
+    n1, n2 = fourstep_split(params.n)
+    ctx = make_context(params)
+    k = level
+    qp_idx = np.asarray(qp_indices(params, level))
+    t_q = _ntt_tables_for(ctx, np.arange(k))
+    t_qp = _ntt_tables_for(ctx, qp_idx)
+    gmax = math.ceil(len(ks_groups(params, level)) / n_limb)
+
+    def body(c0, c1, lins, t_q, t_qp, ks, key_stacks):
+        kq = t_qp.q[:, None, None]
+        kqinv = t_qp.qinv[:, None, None]
+        q = t_q.q[:, None, None]
+        qinv = t_q.qinv[:, None, None]
+
+        # hoist: decompose + ModUp + NTT once for the whole fan
+        c1_coeff = ntt_inv_body(c1, t_q)
+        src_idx = ks.src_idx[0]
+        src_q = ks.src_q[0][..., None, None]
+        src_qinv = ks.src_qinv[0][..., None, None]
+        qhatinv = ks.qhatinv[0][..., None, None]
+        conv = ks.conv[0]
+        raised = []
+        for g in range(gmax):
+            x_src = jnp.take(c1_coeff, src_idx[g], axis=0)
+            v = mont_mul(x_src, qhatinv[g], src_q[g], src_qinv[g])
+            acc = None
+            for i in range(v.shape[0]):
+                term = mont_mul(v[i][None], conv[g, :, i][:, None, None], kq, kqinv)
+                acc = term if acc is None else add_mod(acc, term, kq)
+            raised.append(ntt_fwd_body(acc, t_qp))
+        r_stack = jnp.stack(raised)  # [gmax, QP, B, n2]
+        full_r = jax.lax.all_gather(r_stack, "coeff", axis=2, tiled=True)
+        full_c0 = jax.lax.all_gather(c0, "coeff", axis=1, tiled=True)
+        qp_rows = full_r.shape[1]
+        fr_flat = full_r.reshape(gmax, qp_rows, n1 * n2)
+        fc0_flat = full_c0.reshape(k, n1 * n2)
+        b_rows = c1.shape[1]
+
+        outs = []
+        for j in range(n_offsets):
+            lin = lins[j].reshape(-1)
+            kb, ka = key_stacks[j]
+            t0 = t1 = None
+            for g in range(gmax):
+                rg = jnp.take(fr_flat[g], lin, axis=1).reshape(qp_rows, b_rows, n2)
+                u0 = mont_mul(rg, kb[0][g], kq, kqinv)
+                u1 = mont_mul(rg, ka[0][g], kq, kqinv)
+                t0 = u0 if t0 is None else add_mod(t0, u0, kq)
+                t1 = u1 if t1 is None else add_mod(t1, u1, kq)
+            a0 = _modular_allreduce(t0, kq, "limb")
+            a1 = _modular_allreduce(t1, kq, "limb")
+            down = []
+            for acc in (a0, a1):
+                coeff = ntt_inv_body(acc, t_qp)
+                vp = mont_mul(
+                    coeff[k:],
+                    ks.p2q_qhatinv[:, None, None],
+                    ks.p_q[:, None, None],
+                    ks.p_qinv[:, None, None],
+                )
+                p_part = None
+                for i in range(vp.shape[0]):
+                    term = mont_mul(
+                        vp[i][None], ks.p2q_conv[:, i][:, None, None], q, qinv
+                    )
+                    p_part = term if p_part is None else add_mod(p_part, term, q)
+                down.append(
+                    ntt_fwd_body(
+                        mont_mul(
+                            sub_mod(coeff[:k], p_part, q),
+                            ks.pinv[:, None, None], q, qinv,
+                        ),
+                        t_q,
+                    )
+                )
+            c0g = jnp.take(fc0_flat, lin, axis=1).reshape(k, b_rows, n2)
+            outs.append((add_mod(c0g, down[0], q), down[1]))
+        return tuple(outs)
+
+    ct_spec = P(None, "coeff", None)
+    key_spec = tuple(
+        (P("limb", None, None, "coeff", None), P("limb", None, None, "coeff", None))
+        for _ in range(n_offsets)
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            ct_spec, ct_spec, P(None, "coeff", None),
+            ShardedNTT.spec(), ShardedNTT.spec(), ShardedKS.spec(),
+            key_spec,
+        ),
+        out_specs=tuple((ct_spec, ct_spec) for _ in range(n_offsets)),
+        check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    def prepare(gk_list):
+        shared, _ = make_sharded_ks(params, level, gk_list[0], n_limb)
+        stub = jnp.zeros((n_limb, 1, 1, n1, 1), dtype=jnp.uint32)
+        shared = shared._replace(key_b=stub, key_a=stub)
+        stacks = tuple(_key_stack_e3(gk, params, level, n_limb) for gk in gk_list)
+        return shared, stacks
+
+    def run(c0, c1, lins, bundle):
+        shared, stacks = bundle
+        return jit_fn(c0, c1, lins, t_q, t_qp, shared, stacks)
+
+    return run, prepare
+
+
+@functools.lru_cache(maxsize=None)
 def make_sharded_rotation(params: CKKSParams, level: int, mesh: Mesh, steps: int):
     """Compile the sharded rotate-by-`steps` (automorphism + key switch).
 
