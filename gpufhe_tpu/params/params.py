@@ -324,6 +324,12 @@ def preset(name: str) -> CKKSParams:
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
         p = _mk(n=2**7, n_q=14, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
+    if name == "boot_mid":
+        # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
+        # big enough that the mesh programs shard real work, small enough for
+        # the 8-virtual-device CPU mesh
+        p = _mk(n=2**12, n_q=14, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=16)
     if name == "config1_ntt":
         return _mk(n=2**12, n_q=1, n_p=1, scale_bits=28)
     if name == "config2_rns":

@@ -45,8 +45,12 @@ def main():
 
     be = DeviceBackend(params, ctx, chest)
     t0 = time.time()
+    # k_bound covers the ModRaise overflow |u|/q0: with the ephemeral h=32
+    # encapsulation secret the overflow is a 32-step +-1/2 random walk
+    # (sigma ~ 1.6), so 10 is ~6 sigma — tighter than the h=64-era 12, and
+    # a shorter EvalMod Chebyshev ladder
     bs = Bootstrapper(be, transform="factored", radix_log=radix,
-                      evalmod="cheb", k_bound=12.0)
+                      evalmod="cheb", k_bound=10.0)
     print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
 
     # shrink each Galois key to the level it is actually used at (bit-exact

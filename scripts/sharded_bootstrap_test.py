@@ -37,8 +37,17 @@ from gpufhe_tpu.params.params import preset
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="boot_ci_f",
+                    help="boot_ci_f (CI) or boot_mid (N=2^12 stress)")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="steady-state iterations to time after the first")
+    args = ap.parse_args()
+
     t0 = time.time()
-    params = preset("boot_ci_f")
+    params = preset(args.preset)
     ctx = make_context(params)
     rots = bootstrap_rotations(params, transform="factored", radix_log=3)
     chest = dkeys.keygen(
@@ -55,10 +64,19 @@ def main():
         encoder.encode(z, params), params, chest.device_pk, ctx,
         np.random.default_rng(1), params.scale, level=1,
     )
+    t0 = time.time()
     out = bs(be.from_single(ct1))
+    jax.block_until_ready(out.c)
+    first = time.time() - t0
+    steady = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = bs(be.from_single(ct1))
+        jax.block_until_ready(out.c)
+        steady.append(round(time.time() - t0, 2))
     err = float(np.abs(be.decrypt_decode(out) - z).max())
-    print(f"SHARDED_BOOTSTRAP ok={err < 0.01} err={err:.2e} "
-          f"level={out.level} time={time.time()-t0:.0f}s")
+    print(f"SHARDED_BOOTSTRAP preset={args.preset} N={params.n} ok={err < 0.01} "
+          f"err={err:.2e} level={out.level} first={first:.0f}s steady={steady}")
 
 
 if __name__ == "__main__":
