@@ -27,6 +27,49 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_demo_mlp(args):
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    ctx = make_context(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0),
+        rotations=tuple(mlp_rotations(params.slots)),
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    d_in, d_h, d_out = 12, 8, 4
+    model = EncryptedMLP(be, [
+        (rng.normal(size=(d_h, d_in)) * 0.3, rng.normal(size=d_h) * 0.3),
+        (rng.normal(size=(d_out, d_h)) * 0.3, rng.normal(size=d_out) * 0.3),
+    ])
+    x = rng.normal(size=d_in) * 0.5
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:d_in] = x
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale,
+    )
+    got = np.real(be.decrypt_decode(model(ct))[:d_out])
+    want = model.reference(x)
+    print(json.dumps({
+        "demo": "encrypted_mlp",
+        "preset": args.preset,
+        "dims": [d_in, d_h, d_out],
+        "levels_used": model.levels_used,
+        "encrypted_logits": [round(float(v), 6) for v in got],
+        "cleartext_logits": [round(float(v), 6) for v in want],
+        "max_abs_err": round(float(np.abs(got - want).max()), 6),
+    }))
+
+
 def _cmd_kernels(args):
     from gpufhe_tpu.utils.benchkit import bench_all
 
@@ -200,6 +243,10 @@ def main(argv=None):
     k = sub.add_parser("kernels", help="per-kernel roofline table")
     k.add_argument("--preset", default="config5_boot")
     k.set_defaults(fn=_cmd_kernels)
+
+    dm = sub.add_parser("demo-mlp", help="encrypted MLP inference demo")
+    dm.add_argument("--preset", default="ci_small")
+    dm.set_defaults(fn=_cmd_demo_mlp)
 
     d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
     d.add_argument("--preset", default="ci_small")

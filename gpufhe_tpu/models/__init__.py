@@ -1,1 +1,2 @@
 from gpufhe_tpu.models.logreg import EncryptedLogReg, rotations_needed  # noqa: F401
+from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations  # noqa: F401

@@ -327,8 +327,9 @@ def preset(name: str) -> CKKSParams:
     if name == "boot_mid":
         # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
         # big enough that the mesh programs shard real work, small enough for
-        # the 8-virtual-device CPU mesh
-        p = _mk(n=2**12, n_q=14, n_p=3, scale_bits=28)
+        # the 8-virtual-device CPU mesh. 2048 slots -> 4 grouped transform
+        # stages each way; cos EvalMod burns taylor_m+1+r = 10 -> n_q >= 19.
+        p = _mk(n=2**12, n_q=20, n_p=4, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
     if name == "config1_ntt":
         return _mk(n=2**12, n_q=1, n_p=1, scale_bits=28)

@@ -37,6 +37,42 @@ def test_encrypted_logreg_inference():
     assert abs(got - model.reference(x)) < 0.1
 
 
+def test_encrypted_mlp_inference():
+    """2-layer CryptoNets-style MLP (BSGS matmuls + square activation)."""
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+
+    params = preset("ci_small")
+    ctx = make_context(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0),
+        rotations=tuple(mlp_rotations(params.slots)),
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    d_in, d_h, d_out = 12, 8, 4
+    w1 = rng.normal(size=(d_h, d_in)) * 0.3
+    b1 = rng.normal(size=d_h) * 0.3
+    w2 = rng.normal(size=(d_out, d_h)) * 0.3
+    b2 = rng.normal(size=d_out) * 0.3
+    model = EncryptedMLP(be, [(w1, b1), (w2, b2)])
+    assert model.levels_used == 3
+
+    x = rng.normal(size=d_in) * 0.5
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:d_in] = x
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale,
+    )
+    got = np.real(be.decrypt_decode(model(ct))[:d_out])
+    want = model.reference(x)
+    assert np.abs(got - want).max() < 1e-2, (got, want)
+    # output slots beyond d_out carry only noise
+    tail = np.abs(be.decrypt_decode(model(ct))[d_out : d_out + 8])
+    assert tail.max() < 1e-2
+
+
 def test_keychest_and_ciphertext_serialization(tmp_path):
     params = preset("tiny2")
     ctx = make_context(params)
