@@ -324,6 +324,10 @@ def preset(name: str) -> CKKSParams:
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
         p = _mk(n=2**7, n_q=14, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
+    if name == "ci_deep":
+        # deep-but-small chain for composite-polynomial circuits (sign/relu:
+        # 4 levels per degree-7 composition step, compare.py)
+        return _mk(n=2**10, n_q=16, n_p=4, scale_bits=28)
     if name == "boot_mid":
         # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
         # big enough that the mesh programs shard real work, small enough for
