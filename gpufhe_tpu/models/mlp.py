@@ -5,11 +5,12 @@ under CKKS: each layer is a BSGS plaintext-matrix x ciphertext product
 (ciphertext/linalg.py — hoisted baby rotations, zero diagonals skipped, so a
 rectangular (out_dim x in_dim) block embedded in the slots x slots identity
 frame costs ~(in+out) diagonals, not slots) followed by a bias add and, on
-hidden layers, the HE-friendly square activation x -> x^2 (Gilad-Bachrach
-et al., CryptoNets — the standard substitution for ReLU under leveled HE).
+hidden layers, an activation: the HE-friendly square x -> x^2
+(Gilad-Bachrach et al., CryptoNets — 1 level) by default, or any callable
+such as the TRUE composite-polynomial ReLU from ciphertext/compare.py
+(13 levels per hidden layer at the default composition).
 
-Levels consumed: 2*len(layers) - 1 (one per matmul rescale, one per hidden
-square; the output layer skips the activation).
+Levels consumed: len(layers) + n_hidden * act_levels.
 
 Backend-generic (ciphertext/backend.py): identical code runs on the device,
 golden, and sharded pipelines. Reference trace: the reference has no model
@@ -47,7 +48,12 @@ class EncryptedMLP:
     [0, out_k).
     """
 
-    def __init__(self, be, layers: list[tuple[np.ndarray, np.ndarray]]):
+    def __init__(self, be, layers: list[tuple[np.ndarray, np.ndarray]],
+                 activation="square", act_levels: int | None = None):
+        """activation: "square" (x->x^2, 1 level), or any callable
+        (be, ct) -> ct — e.g. a functools.partial over
+        ciphertext.compare.relu for true ReLU networks (13 levels with the
+        default n_g=1/n_f=2 composition; pass act_levels to match)."""
         self.be = be
         slots = be.params.slots
         dims = None
@@ -62,7 +68,17 @@ class EncryptedMLP:
             bz = np.zeros(slots, dtype=np.complex128)
             bz[: b.size] = b
             self.layers.append((w, bz))
-        self.levels_used = 2 * len(self.layers) - 1
+        if activation == "square":
+            self.act = lambda be, ct: be.mul(ct, ct)
+            self.act_ref = lambda h: h * h
+            self.act_levels = 1
+        else:
+            assert callable(activation) and act_levels is not None
+            self.act = activation
+            self.act_ref = None  # caller compares against its own reference
+            self.act_levels = act_levels
+        n_hidden = len(self.layers) - 1
+        self.levels_used = len(self.layers) + n_hidden * self.act_levels
         self._plans: dict[int, list[BsgsPlan]] = {}  # input level -> per-layer
 
     def _plans_at(self, level: int) -> list[BsgsPlan]:
@@ -72,7 +88,9 @@ class EncryptedMLP:
             plans, lvl = [], level
             for i, (w, _) in enumerate(self.layers):
                 plans.append(BsgsPlan(be, _embed(w, slots), None, lvl))
-                lvl -= 2 if i < len(self.layers) - 1 else 1  # matmul + square
+                lvl -= 1  # matmul rescale
+                if i < len(self.layers) - 1:
+                    lvl -= self.act_levels
             self._plans[level] = plans
         return plans
 
@@ -88,14 +106,17 @@ class EncryptedMLP:
             ct = plan.apply(ct)  # W x, one level
             ct = be.add_plain(ct, bz)
             if i < len(self.layers) - 1:
-                ct = be.mul(ct, ct)  # square activation, one level
+                ct = self.act(be, ct)
         return ct
 
-    def reference(self, x: np.ndarray) -> np.ndarray:
-        """Cleartext forward of the same circuit (square activations)."""
+    def reference(self, x: np.ndarray, act=None) -> np.ndarray:
+        """Cleartext forward of the same circuit. For non-square activations
+        pass `act` (e.g. lambda h: np.maximum(h, 0) for ReLU)."""
+        act = act if act is not None else self.act_ref
+        assert act is not None, "pass act= for a callable activation"
         h = np.asarray(x, dtype=np.float64)
         for i, (w, bz) in enumerate(self.layers):
             h = w @ h + np.real(bz[: w.shape[0]])
             if i < len(self.layers) - 1:
-                h = h * h
+                h = act(h)
         return h

@@ -44,6 +44,11 @@ def main():
                     help="boot_ci_f (CI) or boot_mid (N=2^12 stress)")
     ap.add_argument("--iters", type=int, default=1,
                     help="steady-state iterations to time after the first")
+    ap.add_argument("--evalmod", default="cos",
+                    help="cos (CI scale) or cheb (production: no 2^r noise "
+                         "amplification — required beyond CI scale)")
+    ap.add_argument("--k-bound", type=float, default=12.0,
+                    help="ModRaise overflow bound; ~6*sqrt(h/12) is safe")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -55,7 +60,8 @@ def main():
     )
     mesh = sh.make_fhe_mesh(2, 4, devices=jax.devices()[:8])
     be = ShardedBackend(params, mesh, chest)
-    bs = Bootstrapper(be, transform="factored", radix_log=3)
+    bs = Bootstrapper(be, transform="factored", radix_log=3,
+                      evalmod=args.evalmod, k_bound=args.k_bound)
     print(f"# setup {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(0)

@@ -59,6 +59,44 @@ def test_relu_and_abs(stack):
 
 
 @pytest.mark.slow
+def test_relu_mlp(stack):
+    """End-to-end encrypted MLP with the TRUE (composite-sign) ReLU."""
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+
+    params, ctx, _, _ = stack
+    chest = dkeys.keygen(
+        params, np.random.default_rng(20),
+        rotations=tuple(mlp_rotations(params.slots)),
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(21)
+    d_in, d_h, d_out = 8, 4, 2
+    x = rng.normal(size=d_in)
+    w1 = rng.normal(size=(d_h, d_in))
+    b1 = rng.normal(size=d_h) * 0.1
+    # scale each hidden unit's pre-activation into +-[0.2, 0.8] so values
+    # stay inside [-1, 1] and clear of the sign dead band
+    v = w1 @ x + b1
+    target = rng.uniform(0.2, 0.8, size=d_h) * np.sign(v)
+    w1 = w1 * (target / v)[:, None]
+    b1 = b1 * (target / v)
+    w2 = rng.normal(size=(d_out, d_h)) * 0.4
+    b2 = rng.normal(size=d_out) * 0.1
+
+    model = EncryptedMLP(
+        be, [(w1, b1), (w2, b2)],
+        activation=lambda be, ct: cmp.relu(be, ct), act_levels=13,
+    )
+    assert model.levels_used == 15
+
+    ct = _encrypt(params, chest, ctx, x, seed=22)
+    got = np.real(be.decrypt_decode(model(ct))[:d_out])
+    want = model.reference(x, act=lambda h: np.maximum(h, 0.0))
+    assert np.abs(got - want).max() < 0.03, (got, want)
+
+
+@pytest.mark.slow
 def test_maximum_minimum(stack):
     params, ctx, chest, be = stack
     rng = np.random.default_rng(5)
