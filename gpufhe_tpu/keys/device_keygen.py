@@ -45,6 +45,11 @@ class DeviceKeyChest:
     galois: dict  # steps -> (None, DeviceKSKey)
     conj: tuple | None
     eph: dict | None = None  # {"s_eph", "to_eph": (None, key), "from_eph": ...}
+    # name -> uint32 PRNG key_data from which that key's uniform `a` rows are
+    # re-derivable ("pk", "rlk", "gk<steps>", "conj", "to_eph", "from_eph").
+    # Enables seeded serialization: store b + 64-bit seed, regenerate a on
+    # load (utils/serialization.py save_device_keychest) — halves key storage.
+    seeds: dict | None = None
 
     def galois_key(self, steps: int) -> DeviceKSKey:
         return self.galois[steps][1]
@@ -91,6 +96,45 @@ def _ntt_mont(small: np.ndarray, params, ctx, primes, idx) -> jnp.ndarray:
     return to_mont(x, q, qinv, r2)
 
 
+def _a_rows(ctx: Context, idx: np.ndarray, n: int, jkey, rows: int) -> list:
+    """The uniform `a` polynomials a KS key draws from jkey, in draw order.
+
+    This split sequence IS the seeded-key contract: regen_ks_a replays it
+    from the recorded key_data, so changing it invalidates saved seeded
+    chests (threefry is backend-deterministic, so CPU/TPU regenerate
+    identical rows)."""
+    import jax
+
+    out = []
+    for _ in range(rows):
+        jkey, sub = jax.random.split(jkey)
+        out.append(_uniform_mod_q(sub, ctx, idx, n))
+    return out
+
+
+def regen_ks_a(params: CKKSParams, ctx: Context, key_data: np.ndarray) -> jnp.ndarray:
+    """Montgomery-form a_mont[dnum, K, N] of a KS key from its stored seed."""
+    import jax
+
+    qp = params.q_primes + params.p_primes
+    idx = np.arange(len(qp))
+    q, qinv, r2 = _consts(ctx, idx)
+    jkey = jax.random.wrap_key_data(jnp.asarray(key_data))
+    rows = _a_rows(ctx, idx, params.n, jkey, len(gckks.gadget_factors(params)))
+    return jnp.stack([to_mont(a, q, qinv, r2) for a in rows])
+
+
+def regen_pk_a(params: CKKSParams, ctx: Context, key_data: np.ndarray) -> jnp.ndarray:
+    """Montgomery-form a_mont[L, N] of the public key from its stored seed."""
+    import jax
+
+    q_idx = np.arange(params.num_limbs)
+    q, qinv, r2 = _consts(ctx, q_idx)
+    jkey = jax.random.wrap_key_data(jnp.asarray(key_data))
+    (a,) = _a_rows(ctx, q_idx, params.n, jkey, 1)
+    return to_mont(a, q, qinv, r2)
+
+
 def _make_ks_key(
     params: CKKSParams,
     ctx: Context,
@@ -100,17 +144,14 @@ def _make_ks_key(
     jkey,
 ) -> DeviceKSKey:
     """Gadget rows over the full Q+P chain (device arithmetic)."""
-    import jax
-
     qp = params.q_primes + params.p_primes
     idx = np.arange(len(qp))
     q, qinv, r2 = _consts(ctx, idx)
     factors = gckks.gadget_factors(params)
+    a_list = _a_rows(ctx, idx, params.n, jkey, len(factors))
 
     bs, as_ = [], []
-    for g in factors:
-        jkey, sub = jax.random.split(jkey)
-        a = _uniform_mod_q(sub, ctx, idx, params.n)
+    for g, a in zip(factors, a_list):
         e_small = gckks.sample_gauss(rng, params.n, params.sigma)
         e_ntt = ntt_fwd(_lift_signed(e_small, ctx, idx), ctx, limbs=idx)
         g_rns = jnp.asarray(
@@ -151,10 +192,16 @@ def device_keygen(
     # public key over the q-chain (device PRNG for the uniform poly)
     import jax
 
+    seeds: dict = {}
+
+    def _kd(k):
+        return np.asarray(jax.random.key_data(k))
+
     jkey = jax.random.key(int(rng.integers(0, 2**63)))
     jkey, sub = jax.random.split(jkey)
+    seeds["pk"] = _kd(sub)
     q_primes = params.q_primes
-    a = _uniform_mod_q(sub, ctx, q_idx, n)
+    (a,) = _a_rows(ctx, q_idx, n, sub, 1)
     e_small = gckks.sample_gauss(rng, n, params.sigma)
     e_ntt = ntt_fwd(_lift_signed(e_small, ctx, q_idx), ctx, limbs=q_idx)
     s_mont_q = s_mont_full[: len(q_primes)]
@@ -164,6 +211,7 @@ def device_keygen(
     )
 
     jkey, sub = jax.random.split(jkey)
+    seeds["rlk"] = _kd(sub)
     rlk = _make_ks_key(params, ctx, s_mont_full, s2_mont_full, rng, sub)
 
     galois = {}
@@ -172,6 +220,7 @@ def device_keygen(
         sg = gckks.apply_automorphism_coeff(s, g)
         sg_mont = _ntt_mont(sg, params, ctx, qp, qp_idx)
         jkey, sub = jax.random.split(jkey)
+        seeds[f"gk{steps}"] = _kd(sub)
         galois[steps] = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng, sub))
 
     conj = None
@@ -180,6 +229,7 @@ def device_keygen(
         sg = gckks.apply_automorphism_coeff(s, g)
         sg_mont = _ntt_mont(sg, params, ctx, qp, qp_idx)
         jkey, sub = jax.random.split(jkey)
+        seeds["conj"] = _kd(sub)
         conj = (None, _make_ks_key(params, ctx, s_mont_full, sg_mont, rng, sub))
 
     eph = None
@@ -188,6 +238,8 @@ def device_keygen(
         eph_mont = _ntt_mont(s_eph, params, ctx, qp, qp_idx)
         jkey, k1 = jax.random.split(jkey)
         jkey, k2 = jax.random.split(jkey)
+        seeds["to_eph"] = _kd(k1)
+        seeds["from_eph"] = _kd(k2)
         to_eph = _make_ks_key(params, ctx, eph_mont, s_mont_full, rng, k1)
         from_eph = _make_ks_key(params, ctx, s_mont_full, eph_mont, rng, k2)
         eph = {
@@ -205,4 +257,5 @@ def device_keygen(
         galois=galois,
         conj=conj,
         eph=eph,
+        seeds=seeds,
     )

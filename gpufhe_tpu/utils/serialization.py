@@ -87,6 +87,106 @@ def load_keychest(path):
     )
 
 
+def save_device_keychest(path, chest, seeded: bool = True) -> None:
+    """Persist a DeviceKeyChest (keys/device_keygen.py).
+
+    seeded=True stores, for every key-switch key whose PRNG seed the chest
+    recorded, only the b_mont rows plus the 64-bit key_data — the uniform
+    a_mont rows are regenerated on load (threefry is backend-deterministic),
+    halving the dominant (a, b) payload. Keys without a recorded seed fall
+    back to storing both halves.
+    """
+    path = pathlib.Path(path)
+    seeds = (chest.seeds or {}) if seeded else {}
+    arrays = {"sk_s": chest.sk.s}
+
+    def put_ks(name: str, key) -> bool:
+        arrays[f"{name}_b"] = np.asarray(key.b_mont)
+        if name in seeds:
+            arrays[f"{name}_seed"] = np.asarray(seeds[name])
+            return True
+        arrays[f"{name}_a"] = np.asarray(key.a_mont)
+        return False
+
+    put_ks("rlk", chest.device_rlk)
+    for steps, (_, gk) in chest.galois.items():
+        put_ks(f"gk{steps}", gk)
+    if chest.conj is not None:
+        put_ks("conj", chest.conj[1])
+    has_eph = chest.eph is not None
+    if has_eph:
+        arrays["eph_s"] = np.asarray(chest.eph["s_eph"])
+        put_ks("to_eph", chest.eph["to_eph"][1])
+        put_ks("from_eph", chest.eph["from_eph"][1])
+    arrays["pk_b"] = np.asarray(chest.device_pk.b_mont)
+    if "pk" in seeds:
+        arrays["pk_seed"] = np.asarray(seeds["pk"])
+    else:
+        arrays["pk_a"] = np.asarray(chest.device_pk.a_mont)
+    meta = {
+        "params": params_to_dict(chest.params),
+        "rotations": sorted(chest.galois.keys()),
+        "has_conj": chest.conj is not None,
+        "has_eph": has_eph,
+    }
+    np.savez_compressed(path, __meta__=np.bytes_(json.dumps(meta).encode()), **arrays)
+
+
+def load_device_keychest(path):
+    """Restore a DeviceKeyChest, regenerating seeded a_mont rows on device."""
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.keys.device_keygen import (
+        DeviceKeyChest,
+        regen_ks_a,
+        regen_pk_a,
+    )
+    from gpufhe_tpu.keys.keys import DeviceKSKey, DevicePublicKey
+    from gpufhe_tpu.ops.context import make_context
+
+    z = np.load(pathlib.Path(path))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    params = params_from_dict(meta["params"])
+    ctx = make_context(params)
+    seeds = {}
+
+    def get_ks(name: str) -> DeviceKSKey:
+        b = jnp.asarray(z[f"{name}_b"])
+        if f"{name}_seed" in z:
+            seeds[name] = z[f"{name}_seed"]
+            return DeviceKSKey(b_mont=b, a_mont=regen_ks_a(params, ctx, seeds[name]))
+        return DeviceKSKey(b_mont=b, a_mont=jnp.asarray(z[f"{name}_a"]))
+
+    sk = gckks.SecretKey(s=z["sk_s"])
+    if "pk_seed" in z:
+        seeds["pk"] = z["pk_seed"]
+        pk_a = regen_pk_a(params, ctx, seeds["pk"])
+    else:
+        pk_a = jnp.asarray(z["pk_a"])
+    pk = DevicePublicKey(b_mont=jnp.asarray(z["pk_b"]), a_mont=pk_a)
+    galois = {s: (None, get_ks(f"gk{s}")) for s in meta["rotations"]}
+    conj = (None, get_ks("conj")) if meta["has_conj"] else None
+    eph = None
+    if meta.get("has_eph"):
+        eph = {
+            "s_eph": z["eph_s"],
+            "to_eph": (None, get_ks("to_eph")),
+            "from_eph": (None, get_ks("from_eph")),
+        }
+    return DeviceKeyChest(
+        params=params,
+        sk=sk,
+        device_sk=dkeys.upload_secret_key(sk, params),
+        device_pk=pk,
+        device_rlk=get_ks("rlk"),
+        galois=galois,
+        conj=conj,
+        eph=eph,
+        seeds=seeds or None,
+    )
+
+
 def save_ciphertext(path, ct) -> None:
     arrays = {f"c{i}": np.asarray(comp) for i, comp in enumerate(ct.c)}
     meta = {"level": ct.level, "scale": ct.scale, "n_components": len(ct.c)}

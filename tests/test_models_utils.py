@@ -102,6 +102,48 @@ def test_keychest_and_ciphertext_serialization(tmp_path):
     assert np.abs(got - z).max() < 1e-3
 
 
+def test_seeded_device_keychest_roundtrip(tmp_path):
+    """Seeded save stores b + 64-bit seed; load regenerates identical a."""
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+
+    params = preset("tiny2")
+    chest = device_keygen(
+        params, np.random.default_rng(11), rotations=(1, 2), conjugation=True
+    )
+    assert chest.seeds and "rlk" in chest.seeds
+
+    ser.save_device_keychest(tmp_path / "seeded.npz", chest, seeded=True)
+    ser.save_device_keychest(tmp_path / "full.npz", chest, seeded=False)
+    sz_seeded = (tmp_path / "seeded.npz").stat().st_size
+    sz_full = (tmp_path / "full.npz").stat().st_size
+    assert sz_seeded < 0.62 * sz_full, (sz_seeded, sz_full)
+
+    chest2 = ser.load_device_keychest(tmp_path / "seeded.npz")
+    assert (np.asarray(chest2.device_rlk.a_mont)
+            == np.asarray(chest.device_rlk.a_mont)).all()
+    assert (np.asarray(chest2.device_rlk.b_mont)
+            == np.asarray(chest.device_rlk.b_mont)).all()
+    for s in (1, 2):
+        assert (np.asarray(chest2.galois[s][1].a_mont)
+                == np.asarray(chest.galois[s][1].a_mont)).all()
+    assert (np.asarray(chest2.conj[1].a_mont)
+            == np.asarray(chest.conj[1].a_mont)).all()
+    assert (np.asarray(chest2.device_pk.a_mont)
+            == np.asarray(chest.device_pk.a_mont)).all()
+
+    # reloaded chest is functional end-to-end
+    ctx = make_context(params)
+    rng = np.random.default_rng(12)
+    z = rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest2.device_pk, ctx,
+        np.random.default_rng(13), params.scale,
+    )
+    prod = dct.ct_mul(ct, ct, params, ctx, chest2.device_rlk)
+    got = dct.decrypt_decode(prod, params, chest2.device_sk, ctx)
+    assert np.abs(got - z * z).max() < 1e-2
+
+
 def test_device_keygen_functional():
     """Device-generated keys encrypt/decrypt/multiply/rotate correctly."""
     from gpufhe_tpu.keys.device_keygen import device_keygen
