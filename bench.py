@@ -12,8 +12,12 @@ achieved fraction of an HBM speed-of-light estimate for the op: every
 limb-transform streams its polynomial block + its per-limb NTT tables once
 (the fused Pallas kernel keeps all digit partials in VMEM, ops/ntt_pallas.py)
 plus the elementwise MAC/base-conversion passes. The estimate is
-cross-checked against XLA's own cost analysis of the compiled executable
-("bytes accessed" of the post-fusion HLO) — both numbers are printed.
+cross-checked against PHYSICS: model bytes / measured time is printed as a
+fraction of HBM peak — it cannot exceed 100%, so a value just under 1.0
+simultaneously validates the model (not a gross overestimate) and the kernel
+(HBM-bound, near speed of light). XLA's cost_analysis() is printed too when
+meaningful, but through the axon PJRT plugin it reports only entry-IO-scale
+bytes (~arguments, not internal traffic) and is flagged + ignored then.
 
 Also echoed (when the artifact exists): the flagship N=2^16 double-word
 bootstrap steady-state from scripts/bootstrap_n16_dw.py (BOOT_N16_DW.json,
@@ -109,6 +113,10 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     t0 = time.time()
     out = compiled(a0, a1, b0, b1)
     jax.block_until_ready(out)
+    # warmup the read-sync too: the tiny slice below jit-compiles its own
+    # program through the tunnel the first time (~0.4 s) — pay that here,
+    # NOT inside the timed section (it inflated ms/mult 15x when timed)
+    _ = np.asarray(out[0][0, :4])
     print(f"# [{preset_name}] first {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
@@ -121,15 +129,34 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     ops_per_s = 1.0 / dt
 
     est_bytes, sol_s = _traffic_estimate(params, level, hbm_bw)
+    # Cross-check the traffic MODEL against physics: implied bandwidth =
+    # model bytes / measured time. It can never exceed HBM peak, so
+    # implied/peak near (but below) 1.0 certifies the model is neither a
+    # large overestimate (would imply >peak) nor the kernel far from
+    # HBM-bound. The PJRT cost_analysis "bytes accessed" is NOT usable for
+    # this through the axon plugin: it reports entry-IO-scale numbers
+    # (~argument bytes; 29 MB vs ~1.2 GB real movement at L=30), so it is
+    # printed for reference only, flagged when it is below the argument
+    # sizes and therefore cannot represent internal HBM traffic.
+    implied_bw = est_bytes / dt  # B/s the model says the chip moved
+    arg_bytes = 4 * level * params.n * 4  # the 4 ciphertext components
     xla_bytes = _xla_bytes_accessed(compiled, chain)
-    if xla_bytes:
-        ratio = est_bytes / xla_bytes
+    if xla_bytes and xla_bytes > 2 * arg_bytes:
         print(f"# [{preset_name}] traffic: model {est_bytes/1e6:.0f} MB vs "
               f"XLA cost-analysis {xla_bytes/1e6:.0f} MB "
-              f"(model/XLA = {ratio:.2f})", flush=True)
+              f"(model/XLA = {est_bytes/xla_bytes:.2f})", flush=True)
+    elif xla_bytes:
+        print(f"# [{preset_name}] traffic: model {est_bytes/1e6:.0f} MB; "
+              f"XLA cost-analysis reports {xla_bytes/1e6:.0f} MB ~ entry-IO "
+              f"only (args are {arg_bytes/1e6:.0f} MB) — not internal HBM "
+              f"traffic; ignored", flush=True)
+        xla_bytes = None
     else:
         print(f"# [{preset_name}] traffic: model {est_bytes/1e6:.0f} MB "
               f"(XLA cost analysis unavailable on this backend)", flush=True)
+    print(f"# [{preset_name}] model-implied bandwidth {implied_bw/1e9:.0f} GB/s "
+          f"vs HBM peak {hbm_bw/1e9:.0f} GB/s "
+          f"({implied_bw/hbm_bw:.1%} — must be < 100%)", flush=True)
     print(f"# [{preset_name}] {dt*1e3:.3f} ms/mult -> HBM SoL {sol_s*1e3:.3f} ms "
           f"({1/sol_s:.0f} mult/s)", flush=True)
 
@@ -140,6 +167,7 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         "unit": "ops/s/chip",
         "vs_baseline": round(ops_per_s * sol_s, 4),
         "traffic_model_mb": round(est_bytes / 1e6),
+        "implied_bw_frac_of_peak": round(implied_bw / hbm_bw, 4),
         "traffic_xla_mb": round(xla_bytes / 1e6) if xla_bytes else None,
     }
 
