@@ -194,7 +194,11 @@ class Bootstrapper:
         return y
 
     # -- full pipeline ------------------------------------------------------
-    def __call__(self, ct):
+    def __call__(self, ct, _phase=None):
+        """_phase: optional callable(name, ct_like) fired as each pipeline
+        phase's outputs are produced — the hook timed_call uses to read-sync
+        and attribute wall time per phase."""
+        mark = _phase if _phase is not None else (lambda name, x: None)
         be = self.be
         w = self.params.scale_words
         if be.level(ct) > w:
@@ -209,13 +213,18 @@ class Bootstrapper:
             raised = be.key_switch(raised, "from_eph")
         else:
             raised = be.mod_raise(ct)
+        mark("mod_raise", raised)
 
         if self.evalmod == "cheb":
             t0, t1 = self.f_cts(raised)
+            mark("coeff_to_slot", t1)
             y0 = self._cheb(t0)
             y1 = self._cheb(t1)
+            mark("evalmod", y1)
             lvl = self.f_stc.first_lo.level  # ghost-planned == actual level
-            return self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
+            out = self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
+            mark("slot_to_coeff", out)
+            return out
 
         if self.transform == "factored":
             t0, t1 = self.f_cts(raised)
@@ -225,13 +234,37 @@ class Bootstrapper:
         shift = -math.pi / 2.0 ** (self.r + 1)
         t0 = be.add_plain(t0, shift)
         t1 = be.add_plain(t1, shift)
+        mark("coeff_to_slot", t1)
 
         y0 = self._evalmod(t0)
         y1 = self._evalmod(t1)
+        mark("evalmod", y1)
 
         if self.transform == "factored":
             lvl = self.f_stc.first_lo.level
-            return self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
-        y0 = be.drop_to_level(y0, self.stc0.level)
-        y1 = be.drop_to_level(y1, self.stc1.level)
-        return be.add(self.stc0.apply(y0), self.stc1.apply(y1))
+            out = self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
+        else:
+            y0 = be.drop_to_level(y0, self.stc0.level)
+            y1 = be.drop_to_level(y1, self.stc1.level)
+            out = be.add(self.stc0.apply(y0), self.stc1.apply(y1))
+        mark("slot_to_coeff", out)
+        return out
+
+    def timed_call(self, ct):
+        """(out, {phase: seconds}) with a read-sync after each phase — the
+        honest wall-clock breakdown (bare block_until_ready returns early
+        through the axon tunnel; see CLAUDE.md / bench.py)."""
+        import time as _time
+
+        times: dict[str, float] = {}
+        state = {"t": _time.time()}
+
+        def mark(name, x):
+            c = x.c[0] if hasattr(x, "c") else x
+            np.asarray(c[..., :4])  # tiny device slice -> host: hard sync
+            now = _time.time()
+            times[name] = round(now - state["t"], 4)
+            state["t"] = now
+
+        out = self(ct, _phase=mark)
+        return out, times

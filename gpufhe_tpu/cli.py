@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 
 import numpy as np
@@ -64,6 +65,60 @@ def _cmd_demo_mlp(args):
         "preset": args.preset,
         "dims": [d_in, d_h, d_out],
         "levels_used": model.levels_used,
+        "encrypted_logits": [round(float(v), 6) for v in got],
+        "cleartext_logits": [round(float(v), 6) for v in want],
+        "max_abs_err": round(float(np.abs(got - want).max()), 6),
+    }))
+
+
+def _cmd_demo_deep_mlp(args):
+    """MLP deeper than the level budget: bootstrap-refreshed mid-inference
+    (models/mlp.py refresh=). The reference has neither models nor
+    bootstrapping (SURVEY.md §1); this demo composes both."""
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    ctx = make_context(params)
+    rots = sorted(
+        set(bootstrap_rotations(params)) | set(mlp_rotations(params.slots))
+    )
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(be)
+
+    rng = np.random.default_rng(1)
+    d, d_out = 8, 4
+    layers = []
+    for i in range(args.layers):
+        o = d_out if i == args.layers - 1 else d
+        layers.append((rng.normal(size=(o, d)) * 0.3, rng.normal(size=o) * 0.1))
+    model = EncryptedMLP(be, layers, refresh=bs)
+
+    x = rng.normal(size=d) * 0.3
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:d] = x
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale, level=3,
+    )
+    got = np.real(be.decrypt_decode(model(ct))[:d_out])
+    want = model.reference(x)
+    print(json.dumps({
+        "demo": "deep_mlp_mid_inference_bootstrap",
+        "preset": args.preset,
+        "n_layers": args.layers,
+        "levels_needed": model.levels_used,
+        "input_level": 3,
+        "mid_inference_bootstraps": model.refreshes,
         "encrypted_logits": [round(float(v), 6) for v in got],
         "cleartext_logits": [round(float(v), 6) for v in want],
         "max_abs_err": round(float(np.abs(got - want).max()), 6),
@@ -234,6 +289,12 @@ def _cmd_keygen(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gpufhe_tpu")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the env may pin a TPU via "
+                        "JAX_PLATFORMS; CI-scale demos compile much faster "
+                        "on host)")
+    p.add_argument("--cache", default="",
+                   help="persistent XLA compile-cache directory")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("bench", help="headline CKKS mult benchmark")
@@ -247,6 +308,14 @@ def main(argv=None):
     dm = sub.add_parser("demo-mlp", help="encrypted MLP inference demo")
     dm.add_argument("--preset", default="ci_small")
     dm.set_defaults(fn=_cmd_demo_mlp)
+
+    dd = sub.add_parser(
+        "demo-deep-mlp",
+        help="MLP deeper than the level budget: bootstraps mid-inference",
+    )
+    dd.add_argument("--preset", default="boot_ci_deep")
+    dd.add_argument("--layers", type=int, default=3)
+    dd.set_defaults(fn=_cmd_demo_deep_mlp)
 
     d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
     d.add_argument("--preset", default="ci_small")
@@ -286,6 +355,15 @@ def main(argv=None):
     g.set_defaults(fn=_cmd_keygen)
 
     args = p.parse_args(argv)
+    if args.cpu or args.cache:
+        import jax  # sitecustomize may have pre-imported it; config still wins
+
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        if args.cache:
+            jax.config.update("jax_compilation_cache_dir",
+                              str(pathlib.Path(args.cache).resolve()))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     args.fn(args)
 
 

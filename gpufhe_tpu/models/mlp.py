@@ -10,7 +10,10 @@ hidden layers, an activation: the HE-friendly square x -> x^2
 such as the TRUE composite-polynomial ReLU from ciphertext/compare.py
 (13 levels per hidden layer at the default composition).
 
-Levels consumed: len(layers) + n_hidden * act_levels.
+Levels consumed: len(layers) + n_hidden * act_levels. Networks deeper than
+the level budget pass `refresh=` (a ciphertext.bootstrap.Bootstrapper): the
+forward pass bootstraps mid-inference whenever the next layer would not fit,
+so depth is unbounded — the composition the whole framework exists for.
 
 Backend-generic (ciphertext/backend.py): identical code runs on the device,
 golden, and sharded pipelines. Reference trace: the reference has no model
@@ -49,12 +52,19 @@ class EncryptedMLP:
     """
 
     def __init__(self, be, layers: list[tuple[np.ndarray, np.ndarray]],
-                 activation="square", act_levels: int | None = None):
+                 activation="square", act_levels: int | None = None,
+                 refresh=None):
         """activation: "square" (x->x^2, 1 level), or any callable
         (be, ct) -> ct — e.g. a functools.partial over
         ciphertext.compare.relu for true ReLU networks (13 levels with the
-        default n_g=1/n_f=2 composition; pass act_levels to match)."""
+        default n_g=1/n_f=2 composition; pass act_levels to match).
+
+        refresh: optional callable(ct) -> ct that restores levels (a
+        Bootstrapper). When set, the forward pass refreshes at any layer
+        boundary where the remaining budget cannot fit the next
+        matmul(+activation), enabling arbitrarily deep circuits."""
         self.be = be
+        self.refresh = refresh
         slots = be.params.slots
         dims = None
         self.layers = []
@@ -79,33 +89,43 @@ class EncryptedMLP:
             self.act_levels = act_levels
         n_hidden = len(self.layers) - 1
         self.levels_used = len(self.layers) + n_hidden * self.act_levels
-        self._plans: dict[int, list[BsgsPlan]] = {}  # input level -> per-layer
+        self.refreshes = 0  # mid-inference bootstraps in the last forward
+        self._plans: dict[tuple[int, int], BsgsPlan] = {}  # (layer, level)
 
-    def _plans_at(self, level: int) -> list[BsgsPlan]:
-        plans = self._plans.get(level)
-        if plans is None:
-            be, slots = self.be, self.be.params.slots
-            plans, lvl = [], level
-            for i, (w, _) in enumerate(self.layers):
-                plans.append(BsgsPlan(be, _embed(w, slots), None, lvl))
-                lvl -= 1  # matmul rescale
-                if i < len(self.layers) - 1:
-                    lvl -= self.act_levels
-            self._plans[level] = plans
-        return plans
+    def _plan(self, i: int, level: int) -> BsgsPlan:
+        plan = self._plans.get((i, level))
+        if plan is None:
+            slots = self.be.params.slots
+            plan = BsgsPlan(self.be, _embed(self.layers[i][0], slots), None, level)
+            self._plans[(i, level)] = plan
+        return plan
 
     def __call__(self, ct_x):
         be = self.be
-        lvl = be.level(ct_x)
-        assert lvl > self.levels_used, (
-            f"MLP consumes {self.levels_used} levels; need level > that, got {lvl}"
-        )
-        plans = self._plans_at(lvl)
+        floor = be.params.scale_words  # minimum usable level
+        if self.refresh is None:
+            lvl = be.level(ct_x)
+            assert lvl > self.levels_used, (
+                f"MLP consumes {self.levels_used} levels; need level > that, "
+                f"got {lvl} (pass refresh= to bootstrap mid-inference)"
+            )
+        self.refreshes = 0
         ct = ct_x
-        for i, ((_, bz), plan) in enumerate(zip(self.layers, plans)):
-            ct = plan.apply(ct)  # W x, one level
+        last = len(self.layers) - 1
+        for i, (_, bz) in enumerate(self.layers):
+            needed = 1 + (self.act_levels if i < last else 0)
+            lvl = be.level(ct)
+            if lvl - needed < floor and self.refresh is not None:
+                ct = self.refresh(ct)  # bootstrap: restore the level budget
+                self.refreshes += 1
+                lvl = be.level(ct)
+                assert lvl - needed >= floor, (
+                    f"refresh restored level {lvl}, but layer {i} needs "
+                    f"{needed} above the floor {floor}"
+                )
+            ct = self._plan(i, lvl).apply(ct)  # W x, one level
             ct = be.add_plain(ct, bz)
-            if i < len(self.layers) - 1:
+            if i < last:
                 ct = self.act(be, ct)
         return ct
 

@@ -324,6 +324,12 @@ def preset(name: str) -> CKKSParams:
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
         p = _mk(n=2**7, n_q=14, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
+    if name == "boot_ci_deep":
+        # bootstrap + compute headroom: the mid-inference-refresh CI preset
+        # (models/mlp.py refresh=) — dense bootstrap consumes 12 levels,
+        # leaving 5 post-refresh for matmul/activation layers
+        p = _mk(n=2**7, n_q=17, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, hamming_weight=16)
     if name == "ci_deep":
         # deep-but-small chain for composite-polynomial circuits (sign/relu:
         # 4 levels per degree-7 composition step, compare.py)

@@ -90,12 +90,18 @@ def main():
     steady = min(times)
     print(f"# steady iterations (read-synced): {[round(t,2) for t in times]}",
           flush=True)
+    # per-phase breakdown. NOTE: each boundary read-sync serializes the
+    # pipeline and pays tunnel latency, so these RELATIVE weights are the
+    # signal — their sum (~2.3 s) far exceeds the fused steady number.
+    out, phase_s = bs.timed_call(ct)
+    print(f"# phase breakdown: {phase_s}", flush=True)
     err = float(np.abs(be.decrypt_decode(out) - z).max())
     result = {
         "demo": "ckks_bootstrap_doubleword", "N": params.n, "L": params.num_limbs,
         "slots": params.slots, "scale_bits": params.scale_bits,
         "out_level": out.level, "out_double_levels": out.level // 2,
         "steady_s": round(steady, 3), "first_s": round(first, 1), "max_err": err,
+        "phase_s": phase_s,
         "security": report(params), "timing": "read-synced",
     }
     print(json.dumps(result), flush=True)

@@ -106,3 +106,44 @@ def test_bootstrap_steady_state_no_host_encodes():
         f"{be.encode_misses - before} host encodes in steady state"
     )
     assert np.abs(be.decrypt_decode(out) - z).max() < 0.02
+
+@pytest.mark.slow
+def test_deep_mlp_mid_inference_bootstrap():
+    """A 3-layer MLP whose input budget (3 levels) cannot fit the network:
+    the forward pass must bootstrap between layers 1 and 2 (models/mlp.py
+    refresh=), then finish on the refreshed chain — models + bootstrap + the
+    backend protocol composed end-to-end."""
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+
+    params = preset("boot_ci_deep")
+    ctx = make_context(params)
+    rots = sorted(set(bootstrap_rotations(params)) | set(mlp_rotations(params.slots)))
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(be)
+
+    rng = np.random.default_rng(1)
+    d = 8
+    layers = []
+    for i in range(3):
+        out_d = 4 if i == 2 else d
+        layers.append((rng.normal(size=(out_d, d)) * 0.3,
+                       rng.normal(size=out_d) * 0.1))
+    model = EncryptedMLP(be, layers, refresh=bs)
+    assert model.levels_used == 5
+
+    x = rng.normal(size=d) * 0.3
+    slots_x = np.zeros(params.slots, dtype=np.complex128)
+    slots_x[:d] = x
+    # encrypt with only 3 levels: layer 1 fits, layer 2 forces a refresh
+    ct = dct.encrypt(
+        encoder.encode(slots_x, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale, level=3,
+    )
+    out = model(ct)
+    assert model.refreshes == 1, model.refreshes
+    got = np.real(be.decrypt_decode(out)[:4])
+    want = model.reference(x)
+    assert np.abs(got - want).max() < 0.05, (got, want)
