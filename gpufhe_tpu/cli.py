@@ -125,6 +125,68 @@ def _cmd_demo_deep_mlp(args):
     }))
 
 
+def _cmd_demo_train(args):
+    """Logistic-regression TRAINING on encrypted data with encrypted
+    weights; bootstraps the weights mid-run when iterations exceed the
+    chain (models/logreg_train.py)."""
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.models.logreg_train import (
+        EncryptedLogRegTrainer, sigmoid_poly, train_rotations,
+    )
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    ctx = make_context(params)
+    rots = set(train_rotations(params.slots))
+    refresh_ok = args.iters * 5 * params.scale_words >= params.num_limbs
+    if refresh_ok:
+        rots |= set(bootstrap_rotations(params))
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0), rotations=tuple(sorted(rots)),
+        conjugation=refresh_ok,
+    )
+    be = DeviceBackend(params, ctx, chest)
+    bs = Bootstrapper(be) if refresh_ok else None
+
+    rng = np.random.default_rng(1)
+    m, f = 32, 2
+    x = rng.normal(size=(m, f))
+    true_w = rng.normal(size=f)
+    y = (x @ true_w > 0).astype(np.float64)
+    tr = EncryptedLogRegTrainer(be, n_samples=m, lr=1.0, refresh=bs)
+
+    enc = lambda v, seed, lv: dct.encrypt(
+        encoder.encode(v, params), params, chest.device_pk, ctx,
+        np.random.default_rng(seed), params.scale, level=lv,
+    )
+    full = params.num_limbs
+    x_cts = [enc(tr.slot_vec(x[:, j]), 10 + j, full) for j in range(f)]
+    y_ct = enc(tr.slot_vec(y), 20, full)
+    w_cts = [
+        enc(np.zeros(params.slots, dtype=np.complex128), 30 + j, full)
+        for j in range(f)
+    ]
+    w_out = tr.fit(w_cts, x_cts, y_ct, iters=args.iters)
+    got = np.array([float(np.real(be.decrypt_decode(w)[0])) for w in w_out])
+    want = tr.reference(np.zeros(f), x, y, iters=args.iters)
+    acc = float(np.mean((sigmoid_poly(x @ got) > 0.5) == (y > 0.5)))
+    print(json.dumps({
+        "demo": "encrypted_logreg_training",
+        "preset": args.preset,
+        "samples": m, "features": f, "iters": args.iters,
+        "weight_bootstraps": tr.refreshes,
+        "encrypted_weights": [round(float(v), 6) for v in got],
+        "cleartext_weights": [round(float(v), 6) for v in want],
+        "max_abs_err": round(float(np.abs(got - want).max()), 6),
+        "train_accuracy": acc,
+    }))
+
+
 def _cmd_kernels(args):
     from gpufhe_tpu.utils.benchkit import bench_all
 
@@ -316,6 +378,14 @@ def main(argv=None):
     dd.add_argument("--preset", default="boot_ci_deep")
     dd.add_argument("--layers", type=int, default=3)
     dd.set_defaults(fn=_cmd_demo_deep_mlp)
+
+    dt = sub.add_parser(
+        "demo-train",
+        help="train logreg on encrypted data/weights (bootstraps mid-run)",
+    )
+    dt.add_argument("--preset", default="ci_deep")
+    dt.add_argument("--iters", type=int, default=2)
+    dt.set_defaults(fn=_cmd_demo_train)
 
     d = sub.add_parser("demo-logreg", help="encrypted logistic regression demo")
     d.add_argument("--preset", default="ci_small")

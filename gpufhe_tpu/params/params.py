@@ -326,9 +326,10 @@ def preset(name: str) -> CKKSParams:
         return dataclasses.replace(p, hamming_weight=16)
     if name == "boot_ci_deep":
         # bootstrap + compute headroom: the mid-inference-refresh CI preset
-        # (models/mlp.py refresh=) — dense bootstrap consumes 12 levels,
-        # leaving 5 post-refresh for matmul/activation layers
-        p = _mk(n=2**7, n_q=17, n_p=3, scale_bits=28)
+        # (models/mlp.py refresh=, models/logreg_train.py) — dense bootstrap
+        # consumes 12 levels, leaving 7 post-refresh: one scale-normalize +
+        # 5-mult-deep training iteration, or MLP matmul/activation blocks
+        p = _mk(n=2**7, n_q=19, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
     if name == "ci_deep":
         # deep-but-small chain for composite-polynomial circuits (sign/relu:
