@@ -319,6 +319,17 @@ def preset(name: str) -> CKKSParams:
         p = _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
         t = gen_ntt_primes(16, 2 * p.n, 1)[0]
         return dataclasses.replace(p, plain_modulus=t)
+    if name == "bfv_ci":
+        # RNS-BFV at CI scale (golden/bfv.py): scale-invariant integers mod
+        # t; same chain shape as bgv_ci so the two integer schemes compare
+        p = _mk(n=2**10, n_q=6, n_p=2, scale_bits=28)
+        t = gen_ntt_primes(16, 2 * p.n, 1)[0]
+        return dataclasses.replace(p, plain_modulus=t)
+    if name == "bfv_tiny":
+        # smallest BFV context (device-parity CI: 128-slot rings)
+        p = _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
+        t = gen_ntt_primes(16, 2 * p.n, 1)[0]
+        return dataclasses.replace(p, plain_modulus=t)
     if name == "boot_ci":
         # CI-scale bootstrapping: 14 levels (CtS 1 + EvalMod 10 + StC 1 + margin),
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
