@@ -131,3 +131,55 @@ def test_rotation_hoisted_parity(ctxt):
     )
     for go, do in zip(g_outs, d_outs):
         _assert_limbs(go, do)
+
+
+def test_bfv_backend_matvec_exact():
+    """linalg BSGS matmul on BFV backends: exact A @ v mod t, device ==
+    golden limb-for-limb (scale-invariant counterpart of the BGV test)."""
+    from gpufhe_tpu.ciphertext import linalg
+    from gpufhe_tpu.ciphertext.bfv_backend import (
+        BFVDeviceBackend,
+        BFVGoldenBackend,
+    )
+
+    params = preset("bfv_tiny")
+    ctx = make_context(params)
+    n_s = params.slots
+    rots = tuple(linalg.bsgs_rotations(n_s))
+    chest = dbfv.keygen(params, np.random.default_rng(9), rotations=rots)
+    t = params.plain_modulus
+
+    rng = np.random.default_rng(6)
+    a_mat = rng.integers(0, t, size=(n_s, n_s))
+    v = rng.integers(0, t, size=(2, n_s))  # independent vector per ring
+
+    g_be = BFVGoldenBackend(params, chest)
+    d_be = BFVDeviceBackend(params, ctx, chest)
+    rings = g_be.rings
+    raw = np.empty(params.n, dtype=np.int64)
+    raw[rings[0]], raw[rings[1]] = v[0], v[1]
+    pt = gbfv.encode(raw, params)
+    ct_g = gbfv.encrypt(pt, params, chest.pk, np.random.default_rng(61))
+    ct_d = dbfv.encrypt(pt, params, chest.device_pk, ctx, np.random.default_rng(61))
+    _assert_limbs(ct_g, ct_d)
+
+    out_g = linalg.matmul_plain(g_be, ct_g, a_mat)
+    out_d = linalg.matmul_plain(d_be, ct_d, a_mat)
+    _assert_limbs(out_g, out_d)
+
+    want = a_mat.astype(object) @ v.T.astype(object) % t  # [n_s, 2]
+    got = d_be.decrypt_decode(out_d)  # [2, n_s]
+    assert (got == want.T.astype(np.int64)).all()
+
+    # add_plain: exact slot addition on both backends
+    d = rng.integers(0, t, size=(2, n_s))
+    s_g = g_be.add_plain(ct_g, d)
+    s_d = d_be.add_plain(ct_d, d)
+    _assert_limbs(s_g, s_d)
+    assert (d_be.decrypt_decode(s_d) == (v + d) % t).all()
+
+    # ct-ct multiply through the backend surface, then a modulus reduction
+    prod_g = g_be.rescale(g_be.mul(ct_g, ct_g))
+    prod_d = d_be.rescale(d_be.mul(ct_d, ct_d))
+    _assert_limbs(prod_g, prod_d)
+    assert (d_be.decrypt_decode(prod_d) == v * v % t).all()
