@@ -273,6 +273,55 @@ def _cmd_demo_bgv(args):
     }))
 
 
+def _cmd_demo_bfv(args):
+    """Exact encrypted integer matvec + ct-ct multiply on BFV slots."""
+    from gpufhe_tpu.ciphertext import bfv as dbfv
+    from gpufhe_tpu.ciphertext import linalg
+    from gpufhe_tpu.ciphertext.bfv_backend import BFVDeviceBackend
+    from gpufhe_tpu.golden import bfv as gbfv
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    assert params.plain_modulus, f"{args.preset} is not a BFV preset"
+    ctx = make_context(params)
+    n_s = params.slots
+    rots = tuple(linalg.bsgs_rotations(n_s))
+    chest = dbfv.keygen(params, np.random.default_rng(0), rotations=rots)
+    t = params.plain_modulus
+
+    rng = np.random.default_rng(1)
+    a_mat = rng.integers(0, t, size=(n_s, n_s))
+    v = rng.integers(0, t, size=(2, n_s))  # one vector per slot ring
+    be = BFVDeviceBackend(params, ctx, chest)
+    raw = np.empty(params.n, dtype=np.int64)
+    raw[be.rings[0]], raw[be.rings[1]] = v[0], v[1]
+    ct = dbfv.encrypt(
+        gbfv.encode(raw, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2),
+    )
+    out = linalg.matmul_plain(be, ct, a_mat)
+    got = be.decrypt_decode(out)
+    want = (a_mat.astype(object) @ v.T.astype(object) % t).T.astype(np.int64)
+    # scale-invariant ct-ct multiply: (A v) * v, then a modulus reduction
+    # (mod-reduce the fresh ct down to the matvec's level first — BFV
+    # modulus reduction keeps the plaintext intact)
+    ct2 = ct
+    while ct2.level > be.level(out):
+        ct2 = be.rescale(ct2)
+    sq = be.rescale(be.mul(out, ct2))
+    got_sq = be.decrypt_decode(sq)
+    want_sq = want * v % t
+    print(json.dumps({
+        "demo": "bfv_exact_matvec_mult",
+        "preset": args.preset,
+        "t": t,
+        "slots_per_ring": n_s,
+        "matvec_exact": bool((got == want).all()),
+        "mult_exact": bool((got_sq == want_sq).all()),
+    }))
+
+
 def _cmd_scaling(args):
     from gpufhe_tpu.parallel.multihost import scaling_report
     from gpufhe_tpu.params.params import preset
@@ -396,6 +445,12 @@ def main(argv=None):
     )
     bg.add_argument("--preset", default="bgv_tiny")
     bg.set_defaults(fn=_cmd_demo_bgv)
+
+    bf = sub.add_parser(
+        "demo-bfv", help="exact encrypted integer matvec + mult on BFV slots"
+    )
+    bf.add_argument("--preset", default="bfv_tiny")
+    bf.set_defaults(fn=_cmd_demo_bfv)
 
     w = sub.add_parser("scaling", help="sharded-mult scaling report over mesh shapes")
     w.add_argument("--preset", default="tiny2")
