@@ -47,6 +47,91 @@ def _check_scales(a_scale: float, b_scale: float):
     )
 
 
+class FusedPipeline:
+    """Collapse a backend composition fn(Ciphertext) -> Ciphertext into ONE
+    XLA program per (level, scale) input signature.
+
+    Everything host-side in fn — level bookkeeping, scale steering, constant
+    encodes (cache-hits in steady state) — is static under trace; the
+    individually-jitted cores it dispatches inline into a single program.
+    This is the generic form of the whole-stage fusion that took the N=2^16
+    bootstrap from 23 s to 0.7 s (fftboot DiagPlan): here it folds the
+    ~80-dispatch fan of a Chebyshev EvalMod evaluation (polyeval.py) into
+    one dispatch. Bit-exact by construction: the traced ops are the same
+    jitted cores the eager path runs, in the same order.
+
+    Only meaningful for DeviceBackend (jax arrays); the golden backend runs
+    fn eagerly unchanged.
+    """
+
+    def __init__(self, be, fn):
+        self.be = be
+        self.fn = fn
+        self._cache: dict = {}
+
+    def __call__(self, *args):
+        """args: any pytree of Ciphertexts (registered pytree: components
+        are children, (level, scale) static aux). Returns fn's Ciphertext
+        pytree, executed as one compiled program per input signature."""
+        import jax
+
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        key = (treedef, tuple((tuple(x.shape), str(x.dtype)) for x in leaves))
+        ent = self._cache.get(key)
+        if ent is None:
+            meta: dict = {}
+
+            def run(flat):
+                from gpufhe_tpu.ciphertext.ct import raw_cores
+
+                a = jax.tree_util.tree_unflatten(treedef, flat)
+                # ensure_compile_time_eval: concrete-only subcomputations
+                # (lazily-built constants — cached encodes, truncated keys,
+                # ks tables) evaluate EAGERLY during the trace, so the
+                # long-lived caches they populate hold concrete arrays, not
+                # tracers that would poison the next pipeline's trace; ops
+                # touching the ciphertext tracers still stage as usual.
+                with raw_cores(), jax.ensure_compile_time_eval():
+                    out = self.fn(*a)
+                out_flat, meta["tree"] = jax.tree_util.tree_flatten(out)
+                return tuple(out_flat)
+
+            # hoist every closed-over device array (keys, NTT tables, cached
+            # plaintext constants) OUT of the program as ARGUMENTS: jax
+            # lowers jaxpr constants as HLO literals, which at N=2^16 would
+            # embed the relinearization key (~10^2 MB) et al. into the
+            # module text and choke the (tunneled) compiler. raw_cores() is
+            # what makes this possible — arrays passed into a NESTED pjit
+            # are captured inside its sub-computation where they cannot be
+            # hoisted. (jax.closure_convert is not usable here: it hoists
+            # only inexact-dtype constants, and FHE limbs are uint32.)
+            closed = jax.make_jaxpr(run)(tuple(leaves))
+            # value-dedup the hoisted constants: raw-core tracing slices
+            # keys/tables EAGERLY per op call, so the same key rows / q
+            # vectors recur dozens of times (measured 3589 -> 193 consts) —
+            # dedup collapses both the argument list and the HBM copies
+            uniq, index, seen = [], [], {}
+            for c in closed.consts:
+                a = np.asarray(c)
+                k = (a.shape, a.dtype.str, hash(a.tobytes()))
+                i = seen.get(k)
+                if i is None:
+                    i = seen[k] = len(uniq)
+                    uniq.append(c)
+                index.append(i)
+            idx = tuple(index)
+
+            def converted(flat, *ucs):
+                cs = [ucs[i] for i in idx]
+                return jax.core.eval_jaxpr(closed.jaxpr, cs, *flat)
+
+            ent = (jax.jit(converted), tuple(uniq), meta)
+            self._cache[key] = ent
+        jitted, consts, meta = ent
+        outs = jitted(tuple(leaves), *consts)
+        return jax.tree_util.tree_unflatten(meta["tree"], outs)
+
+
 class DeviceBackend:
     """Ops on the jitted TPU pipeline (ciphertext/ct.py)."""
 

@@ -66,11 +66,14 @@ class Bootstrapper:
 
     def __init__(self, be, r: int = 5, taylor_m: int = 4, transform: str = "dense",
                  radix_log: int = 3, evalmod: str = "cos", k_bound: float = 12.0,
-                 cheb_baby_log: int = 3):
+                 cheb_baby_log: int = 3, fuse_evalmod: bool | None = None):
         """evalmod="cos": Taylor cos + r double-angle steps (amplifies input
         noise by 2^r — fine at CI scale). evalmod="cheb": direct Chebyshev
         sine evaluation (polyeval.py) — no noise amplification; the
-        production choice. k_bound bounds |u|/q0 (the ModRaise overflow)."""
+        production choice. k_bound bounds |u|/q0 (the ModRaise overflow).
+        fuse_evalmod: compile each whole Chebyshev evaluation into ONE XLA
+        program (backend.FusedPipeline) — default on for DeviceBackend,
+        where the ~80-dispatch eval fan dominates EvalMod wall time."""
         self.be = be
         params: CKKSParams = be.params
         self.params = params
@@ -100,6 +103,20 @@ class Bootstrapper:
             self._cheb = ChebyshevEvaluator(
                 be, sine_coeffs(k_bound), baby_log=cheb_baby_log
             )
+            if fuse_evalmod is None:
+                from gpufhe_tpu.ciphertext.backend import DeviceBackend
+
+                fuse_evalmod = isinstance(be, DeviceBackend)
+            if fuse_evalmod:
+                # TWO programs (basis build / BSGS recursion) rather than
+                # one: the whole-eval program at N=2^16 is ~80 MB of HLO,
+                # past the remote-compile request cap; halves stay under it
+                from gpufhe_tpu.ciphertext.backend import FusedPipeline
+
+                ev = self._cheb
+                basis = FusedPipeline(be, ev._build_basis)
+                evalp = FusedPipeline(be, lambda t: ev._eval(ev.c, t))
+                self._cheb = lambda y: evalp(basis(y))
             # plan the EvalMod output level with a data-free ghost run so the
             # StC plan exists up front (enables per-step Galois key
             # truncation before anything runs — galois_step_levels())

@@ -20,6 +20,7 @@ Generator so golden and device runs share identical samples (keys/keys.py).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 
@@ -49,13 +50,50 @@ class Ciphertext:
         return params.q_primes[: self.level]
 
 
+# pytree registration: components are children, (level, scale) is static
+# aux data — lets backend.FusedPipeline trace compositions over arbitrary
+# Ciphertext structures (dicts of basis polynomials, ct pairs, ...)
+jax.tree_util.register_pytree_node(
+    Ciphertext,
+    lambda ct: (tuple(ct.c), (ct.level, ct.scale)),
+    lambda aux, cs: Ciphertext(list(cs), aux[0], aux[1]),
+)
+
+
 def _qb(ctx: Context, level: int):
     return ctx.q[:level][:, None], ctx.qinv_neg[:level][:, None]
 
 
 # ---------------------------------------------------------------------------
 # jitted cores (params, level static)
+#
+# Raw-core mode (backend.FusedPipeline): when a whole backend composition is
+# traced into ONE program, the per-op jit wrappers must be bypassed —
+# concrete arrays (keys, NTT tables, plaintexts) passed into a NESTED pjit
+# call get captured as literals inside its sub-computation, where
+# jax.closure_convert cannot hoist them (measured: one mult program balloons
+# to 254 MB of HLO proto). Calling the undecorated bodies instead surfaces
+# every such array as an outer-jaxpr constant -> hoisted to a parameter.
 # ---------------------------------------------------------------------------
+
+_RAW_CORES = False
+
+
+@contextlib.contextmanager
+def raw_cores():
+    """Trace core bodies inline (no nested pjit) — see note above."""
+    global _RAW_CORES
+    prev = _RAW_CORES
+    _RAW_CORES = True
+    try:
+        yield
+    finally:
+        _RAW_CORES = prev
+
+
+def _core(jitted):
+    """The jitted core, or its undecorated body in raw-core mode."""
+    return jitted.__wrapped__ if _RAW_CORES else jitted
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -152,12 +190,12 @@ def _decrypt_core(cs, s_mont, ctx, params, level):
 
 def ct_add(a: Ciphertext, b: Ciphertext, ctx: Context) -> Ciphertext:
     assert a.level == b.level and a.scale == b.scale and len(a.c) == len(b.c)
-    return Ciphertext(list(_add_core(tuple(a.c), tuple(b.c), ctx, a.level)), a.level, a.scale)
+    return Ciphertext(list(_core(_add_core)(tuple(a.c), tuple(b.c), ctx, a.level)), a.level, a.scale)
 
 
 def ct_sub(a: Ciphertext, b: Ciphertext, ctx: Context) -> Ciphertext:
     assert a.level == b.level and a.scale == b.scale and len(a.c) == len(b.c)
-    return Ciphertext(list(_sub_core(tuple(a.c), tuple(b.c), ctx, a.level)), a.level, a.scale)
+    return Ciphertext(list(_core(_sub_core)(tuple(a.c), tuple(b.c), ctx, a.level)), a.level, a.scale)
 
 
 def ct_tensor(a: Ciphertext, b: Ciphertext, ctx: Context) -> Ciphertext:
@@ -183,7 +221,7 @@ def ct_relinearize(
 
 def ct_rescale(ct: Ciphertext, params: CKKSParams, ctx: Context) -> Ciphertext:
     ksc = make_ks_context(params, ct.level)
-    new = list(_rescale_core(tuple(ct.c), ctx, ksc, params, ct.level))
+    new = list(_core(_rescale_core)(tuple(ct.c), ctx, ksc, params, ct.level))
     return Ciphertext(new, ct.level - 1, ct.scale / params.q_primes[ct.level - 1])
 
 
@@ -237,7 +275,7 @@ def ct_mul_full(
     kscs = tuple(
         make_ks_context(params, a.level - w) for w in range(params.scale_words)
     )
-    out = _mul_full_core(tuple(a.c), tuple(b.c), ctx, kscs, rlk, params)
+    out = _core(_mul_full_core)(tuple(a.c), tuple(b.c), ctx, kscs, rlk, params)
     scale = a.scale * b.scale
     lvl = a.level
     for _ in range(params.scale_words):
@@ -293,7 +331,7 @@ def ct_plain_mac(
     kscs = tuple(
         make_ks_context(params, level - w) for w in range(params.scale_words)
     )
-    out = _plain_mac_core(
+    out = _core(_plain_mac_core)(
         tuple(tuple(c.c) for c in cts),
         tuple(pt[:level] for pt in pt_monts),
         const_ntt,
@@ -362,7 +400,7 @@ def ct_mul_plain(
 ) -> Ciphertext:
     """Multiply by an NTT-domain Montgomery-form plaintext (encoding/encoder.py)."""
     return Ciphertext(
-        list(_mul_plain_core(tuple(ct.c), pt_mont, ctx, ct.level)),
+        list(_core(_mul_plain_core)(tuple(ct.c), pt_mont, ctx, ct.level)),
         ct.level,
         ct.scale * pt_scale,
     )

@@ -312,3 +312,86 @@ def test_full_bootstrap_sparse_encapsulation():
     out = bs(ct)
     assert out.level >= 2
     assert np.abs(be.decrypt_decode(out) - z).max() < 0.01
+
+@pytest.mark.slow
+def test_fused_cheb_pipeline_bit_exact():
+    """backend.FusedPipeline(cheb) — the whole BSGS evaluation as ONE XLA
+    program — must match the eager dispatch-by-dispatch path limb-exactly
+    (same jitted cores, same order, just inlined)."""
+    from gpufhe_tpu.ciphertext.backend import FusedPipeline
+    from gpufhe_tpu.ciphertext.polyeval import ChebyshevEvaluator, sine_coeffs
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+
+    params = preset("boot_ci_cheb")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(7))
+    be = DeviceBackend(params, ctx, chest)
+    rng = np.random.default_rng(0)
+    y = rng.uniform(-1, 1, size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(y + 0j, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale,
+    )
+    # degree 17 with G=4 still exercises recursion (d > G), giant doubling,
+    # scale alignment, and the fused leaf MACs — at a fraction of the
+    # fast-tier cost of the production degree (~65); the slow-tier cheb
+    # bootstrap runs the fused path at full degree
+    ev = ChebyshevEvaluator(be, sine_coeffs(1.0, degree=17), baby_log=2)
+    eager = ev(ct)
+    fused = FusedPipeline(be, ev)(ct)
+    assert fused.level == eager.level and fused.scale == eager.scale
+    for cf, ce in zip(fused.c, eager.c):
+        assert (np.asarray(cf) == np.asarray(ce)).all()
+    # the split form the Bootstrapper uses (basis program + eval program,
+    # dict-of-Ciphertexts between them), twice: the second call must hit
+    # the compiled programs (no re-trace) and stay exact
+    basis = FusedPipeline(be, ev._build_basis)
+    evalp = FusedPipeline(be, lambda t: ev._eval(ev.c, t))
+    for _ in range(2):
+        out2 = evalp(basis(ct))
+        assert out2.level == eager.level and out2.scale == eager.scale
+        for cf, ce in zip(out2.c, eager.c):
+            assert (np.asarray(cf) == np.asarray(ce)).all()
+
+
+def test_fused_pipeline_smoke_tiny():
+    """Fast-tier FusedPipeline coverage: a small composition (mul, rescale,
+    mul_plain, add_plain) fused into one program, bit-exact vs the eager
+    path, twice (second call must reuse the compiled program). Also pins
+    the tracer-leak regression: constants lazily cached DURING the fused
+    trace (add_plain's _addp_cache) must be concrete, never tracers —
+    backend.FusedPipeline traces under jax.ensure_compile_time_eval."""
+    import jax
+
+    from gpufhe_tpu.ciphertext.backend import FusedPipeline
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(7))
+    be = DeviceBackend(params, ctx, chest)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-1, 1, size=params.slots)
+    ct = dct.encrypt(
+        encoder.encode(z + 0j, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale,
+    )
+
+    def fn(x):
+        y = be.rescale(be.mul(x, x))
+        pt = be.encode_slots(0.5, y.scale, y.level)
+        y = be.rescale(be.mul_plain(y, pt))
+        return be.add_plain(y, 0.25)
+
+    fused = FusedPipeline(be, fn)
+    out_f = fused(ct)  # first: populates _addp_cache inside the trace
+    out_e = fn(ct)
+    assert out_f.level == out_e.level and out_f.scale == out_e.scale
+    for cf, ce in zip(out_f.c, out_e.c):
+        assert (np.asarray(cf) == np.asarray(ce)).all()
+    for v in list(be._addp_cache.values()) + [
+        h for h, _ in be._const_cache.values()
+    ]:
+        assert not isinstance(v, jax.core.Tracer)
+    out_2 = fused(ct)  # cache-hit path: same program, same limbs
+    for cf, ce in zip(out_2.c, out_e.c):
+        assert (np.asarray(cf) == np.asarray(ce)).all()
