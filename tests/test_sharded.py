@@ -330,3 +330,34 @@ def test_sharded_fused_fan_matches_golden(mesh):
         single = sb.to_single(os_)
         for cd, cg in zip(single.c, og.c):
             assert (np.asarray(cd).astype(np.int64) == cg).all()
+
+
+def test_sharded_bfv_mult_matches_single_chip(mesh):
+    """Sharded BFV scale-invariant multiply (parallel/bfv_sharded.py) ==
+    single-chip _bfv_tensor_core + relin, limb for limb. The BEHZ aux
+    machinery is per-coefficient, so only the NTT all_to_alls and the
+    key-switch allreduce touch the mesh."""
+    from gpufhe_tpu.ciphertext import bfv as dbfv
+    from gpufhe_tpu.golden import bfv as gbfv
+    from gpufhe_tpu.parallel.bfv_sharded import make_sharded_bfv_mult
+
+    params = preset("bfv_ci")  # N=2^10 -> n1=n2=32; the 2x4 mesh divides both
+    ctx = make_context(params)
+    chest = dbfv.keygen(params, np.random.default_rng(7))
+    t = params.plain_modulus
+    rng = np.random.default_rng(2)
+    za = rng.integers(0, t, size=params.n)
+    zb = rng.integers(0, t, size=params.n)
+    a = dbfv.encrypt(gbfv.encode(za, params), params, chest.device_pk, ctx,
+                     np.random.default_rng(31))
+    b = dbfv.encrypt(gbfv.encode(zb, params), params, chest.device_pk, ctx,
+                     np.random.default_rng(32))
+    want = dbfv.ct_mul(a, b, params, ctx, chest.device_rlk)
+    assert want.level == a.level  # BFV mult keeps the chain
+
+    run, prepare = make_sharded_bfv_mult(params, a.level, mesh)
+    bundle = prepare(chest.device_rlk)
+    blocks = [sh.shard_ct_component(c, params, mesh) for c in (a.c + b.c)]
+    c0, c1 = run(*blocks, bundle)
+    assert (sh.unshard_ct_component(c0) == np.asarray(want.c[0])).all()
+    assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
