@@ -354,6 +354,53 @@ def ct_mod_reduce(ct: BFVCiphertext, params, ctx) -> BFVCiphertext:
 
 
 # ---------------------------------------------------------------------------
+# Scheme switching BGV <-> BFV (golden/bfv.py bgv_to_bfv/bfv_to_bgv)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _scalar_mul_core(cs, const_mont, ctx, level):
+    q, qinv = ctx.q[:level][:, None], ctx.qinv_neg[:level][:, None]
+    return tuple(mont_mul(c, const_mont[:, None], q, qinv) for c in cs)
+
+
+@functools.lru_cache(maxsize=None)
+def _switch_constants(params: CKKSParams, level: int):
+    """(tinv_mont u32[K], t_mont u32[K], k, neg_r_inv) for one level."""
+    t = params.plain_modulus
+    primes = params.q_primes[:level]
+    big_q = math.prod(primes)
+    tinv = pow(t, -1, big_q)
+    k = (t * tinv - 1) // big_q % t
+    q_arr = np.array(primes, dtype=np.int64)
+    tinv_mont = jnp.asarray(_mont_np([tinv % q for q in primes], q_arr))
+    t_mont = jnp.asarray(_mont_np([t % q for q in primes], q_arr))
+    return tinv_mont, t_mont, k, pow(-(big_q % t) % t, -1, t)
+
+
+def bgv_to_bfv(ct, params: CKKSParams, ctx: Context) -> tuple[BFVCiphertext, int]:
+    """Device BGV -> BFV: one scalar multiply per limb (bit-exact vs golden).
+
+    decrypt(out) == factor * (true BGV message) mod t."""
+    t = params.plain_modulus
+    tinv_mont, _, k, _ = _switch_constants(params, ct.level)
+    out = _scalar_mul_core(tuple(ct.c), tinv_mont, ctx, ct.level)
+    return (
+        BFVCiphertext(list(out), ct.level),
+        k * pow(int(ct.pt_factor), -1, t) % t,
+    )
+
+
+def bfv_to_bgv(ct: BFVCiphertext, params: CKKSParams, ctx: Context):
+    """Device BFV -> BGV (message factor folded into pt_factor)."""
+    from gpufhe_tpu.ciphertext.bgv import BGVCiphertext
+
+    _, t_mont, _, neg_r_inv = _switch_constants(params, ct.level)
+    out = _scalar_mul_core(tuple(ct.c), t_mont, ctx, ct.level)
+    return BGVCiphertext(list(out), ct.level, neg_r_inv)
+
+
+# ---------------------------------------------------------------------------
 # Rotations (CKKS Galois machinery, plain ModDown)
 # ---------------------------------------------------------------------------
 

@@ -375,6 +375,59 @@ def ct_rotate(ct: BFVCiphertext, steps: int, params, gk) -> BFVCiphertext:
     )
 
 
+"""Scheme switching BGV <-> BFV (exact, noise-preserving scalar maps).
+
+Both schemes share keys and the NTT-mod-t plaintext packing, and their
+invariant forms differ only by a scalar: BGV holds m + t*e, BFV holds
+Delta*m + e. Multiplying every component by [t^{-1}]_Q maps the former to
+(1+kQ)/t * m + e — a valid BFV ciphertext whose message is k*m with
+k = t*t^{-1} div Q == -Q^{-1} (mod t); multiplying by t maps BFV to
+-r*m + t*e with r = Q mod t — a valid BGV ciphertext. The known k / -r
+message factors are tracked (BGV's pt_factor field; a returned factor for
+BFV) rather than corrected in-ciphertext, which would scale the noise by
+up to t/2. (The equivalence is the standard BGV/BFV scaling isomorphism.)
+"""
+
+
+def _scalar_mul_rns(c, value: int, primes) -> np.ndarray:
+    v = np.array([value % q for q in primes], dtype=np.int64)[:, None]
+    return c * v % np.array(primes, dtype=np.int64)[:, None]
+
+
+def bgv_to_bfv(ct, params: CKKSParams) -> tuple[BFVCiphertext, int]:
+    """BGV ciphertext -> (BFV ciphertext, message factor).
+
+    decrypt(out) == factor * (true BGV message) mod t; fold factor^{-1}
+    into the next plaintext multiply, or multiply the decryption by
+    pow(factor, -1, t)."""
+    t = params.plain_modulus
+    primes = params.q_primes[: ct.level]
+    big_q = math.prod(primes)
+    tinv = pow(t, -1, big_q)
+    k = (t * tinv - 1) // big_q % t
+    out = BFVCiphertext(
+        [_scalar_mul_rns(c, tinv, primes) for c in ct.c], ct.level
+    )
+    # BGV true message m = m_raw * pt_factor; out decrypts to k * m_raw
+    return out, k * pow(int(ct.pt_factor), -1, t) % t
+
+
+def bfv_to_bgv(ct: BFVCiphertext, params: CKKSParams):
+    """BFV ciphertext -> BGV ciphertext (message factor folded into
+    pt_factor, so BGV decrypt returns the true message directly)."""
+    from gpufhe_tpu.golden.bgv import BGVCiphertext
+
+    t = params.plain_modulus
+    primes = params.q_primes[: ct.level]
+    big_q = math.prod(primes)
+    r = big_q % t
+    return BGVCiphertext(
+        [_scalar_mul_rns(c, t, primes) for c in ct.c],
+        ct.level,
+        pow(-r % t, -1, t),
+    )
+
+
 def ct_rotate_hoisted(ct: BFVCiphertext, steps_list, params, gks: dict) -> list:
     """Many rotations sharing ONE gadget decomposition (CKKS hoisting)."""
     assert len(ct.c) == 2
