@@ -1,4 +1,4 @@
-"""gpufhe_tpu — a TPU-native RNS-CKKS FHE primitive framework.
+"""gpufhe_tpu — a TPU-native RNS-FHE primitive framework (CKKS / BGV / BFV).
 
 A from-scratch JAX/XLA/Pallas re-design of the capability envelope sketched by
 the reference repo Kelly-Zhe/GPU-FHE (see SURVEY.md). The reference's three
