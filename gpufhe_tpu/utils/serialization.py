@@ -188,8 +188,17 @@ def load_device_keychest(path):
 
 
 def save_ciphertext(path, ct) -> None:
+    """Scheme-aware: CKKS (scale), BGV (pt_factor) and BFV ciphertexts."""
     arrays = {f"c{i}": np.asarray(comp) for i, comp in enumerate(ct.c)}
-    meta = {"level": ct.level, "scale": ct.scale, "n_components": len(ct.c)}
+    meta = {"level": ct.level, "n_components": len(ct.c)}
+    if hasattr(ct, "scale"):
+        meta["scheme"] = "ckks"
+        meta["scale"] = ct.scale
+    elif hasattr(ct, "pt_factor"):
+        meta["scheme"] = "bgv"
+        meta["pt_factor"] = int(ct.pt_factor)
+    else:
+        meta["scheme"] = "bfv"
     np.savez_compressed(
         pathlib.Path(path), __meta__=np.bytes_(json.dumps(meta).encode()), **arrays
     )
@@ -198,11 +207,20 @@ def save_ciphertext(path, ct) -> None:
 def load_ciphertext(path, device: bool = True):
     import jax.numpy as jnp
 
-    from gpufhe_tpu.ciphertext.ct import Ciphertext
-
     z = np.load(pathlib.Path(path))
     meta = json.loads(bytes(z["__meta__"]).decode())
     comps = [z[f"c{i}"] for i in range(meta["n_components"])]
     if device:
         comps = [jnp.asarray(c.astype(np.uint32)) for c in comps]
+    scheme = meta.get("scheme", "ckks")
+    if scheme == "bgv":
+        from gpufhe_tpu.ciphertext.bgv import BGVCiphertext
+
+        return BGVCiphertext(comps, meta["level"], meta["pt_factor"])
+    if scheme == "bfv":
+        from gpufhe_tpu.ciphertext.bfv import BFVCiphertext
+
+        return BFVCiphertext(comps, meta["level"])
+    from gpufhe_tpu.ciphertext.ct import Ciphertext
+
     return Ciphertext(comps, meta["level"], meta["scale"])

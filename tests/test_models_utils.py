@@ -203,3 +203,38 @@ def test_noise_report():
     r2 = ckks_noise_report(prod, params, chest.device_sk, ctx, z * z)
     assert r2["level"] == ct.level - 1
     assert 0 < r2["bits_clean"] < r["bits_clean"]  # noise grew, still decodable
+
+
+def test_ciphertext_roundtrip_bgv_bfv(tmp_path):
+    """Scheme-aware ciphertext serialization: BGV keeps pt_factor, BFV has
+    neither scale nor factor; limbs survive the npz round-trip exactly."""
+    from gpufhe_tpu.ciphertext import bfv as dbfv
+    from gpufhe_tpu.ciphertext import bgv as dbgv
+    from gpufhe_tpu.golden import bfv as gbfv
+    from gpufhe_tpu.golden import bgv as gbgv
+    from gpufhe_tpu.params.params import make_context, preset
+    from gpufhe_tpu.utils import serialization as ser
+
+    params = preset("bgv_tiny")
+    ctx = make_context(params)
+    chest = dbgv.keygen(params, np.random.default_rng(71))
+    t = params.plain_modulus
+    m = np.random.default_rng(72).integers(0, t, size=params.n, dtype=np.int64)
+    ct = dbgv.encrypt(gbgv.encode(m, params), params, chest.device_pk, ctx,
+                      np.random.default_rng(73))
+    ct.pt_factor = 7
+    ser.save_ciphertext(tmp_path / "bgv.npz", ct)
+    back = ser.load_ciphertext(tmp_path / "bgv.npz")
+    assert type(back).__name__ == "BGVCiphertext"
+    assert back.pt_factor == 7 and back.level == ct.level
+    for a, b in zip(ct.c, back.c):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    bf = dbfv.encrypt(gbfv.encode(m, params), params, chest.device_pk, ctx,
+                      np.random.default_rng(74))
+    ser.save_ciphertext(tmp_path / "bfv.npz", bf)
+    back = ser.load_ciphertext(tmp_path / "bfv.npz")
+    assert type(back).__name__ == "BFVCiphertext"
+    assert back.level == bf.level
+    for a, b in zip(bf.c, back.c):
+        assert (np.asarray(a) == np.asarray(b)).all()
