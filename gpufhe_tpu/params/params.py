@@ -330,6 +330,13 @@ def preset(name: str) -> CKKSParams:
         p = _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
         t = gen_ntt_primes(16, 2 * p.n, 1)[0]
         return dataclasses.replace(p, plain_modulus=t)
+    if name == "bfv_eq":
+        # Fermat equality circuits (ciphertext/exact.py): t = 257 is prime
+        # with t - 1 = 2^8, so x^(t-1) is 8 squarings; t = 1 mod 2N holds
+        # for N = 2^7. The deep chain buys noise budget (BFV multiplies
+        # keep the level; only noise grows — ~19 bits per squaring here).
+        p = _mk(n=2**7, n_q=12, n_p=3, scale_bits=28)
+        return dataclasses.replace(p, plain_modulus=257)
     if name == "boot_ci":
         # CI-scale bootstrapping: 14 levels (CtS 1 + EvalMod 10 + StC 1 + margin),
         # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
