@@ -85,11 +85,25 @@ def bfv_aux_params(params: CKKSParams, level: int | None = None) -> CKKSParams:
         math.log2(t) + math.log2(params.n) + 2.0 * math.log2(max(lvl, 2))
         + math.log2(big_q) + 4.0
     )
-    used = set(params.q_primes + params.p_primes)
-    cands = [
-        q for q in gen_ntt_primes(28, 2 * params.n, lvl + 16 + len(used))
-        if q not in used
-    ]
+    used = set(params.q_primes + params.p_primes) | {t}
+    # at production N the 2N | q-1 classes are sparse (CLAUDE.md); sweep the
+    # 28..30-bit classes until the basis is big enough, skipping collisions
+    cands: list[int] = []
+    for bits_class in (28, 29, 30):
+        try:
+            got = gen_ntt_primes(bits_class, 2 * params.n, 4 * lvl + 40)
+        except ValueError:
+            # class exhausted — rescan counting only what it actually holds
+            got, p = [], ((1 << bits_class) - 1) // (2 * params.n) * (2 * params.n) + 1
+            from gpufhe_tpu.golden.ntt import is_prime
+
+            while p >= (1 << (bits_class - 1)):
+                if is_prime(p):
+                    got.append(p)
+                p -= 2 * params.n
+        cands.extend(q for q in got if q not in used)
+        if sum(math.log2(q) for q in cands) >= bits_needed + 31:
+            break
     k, bits = 0, 0.0
     while bits < bits_needed:
         bits += math.log2(cands[k])

@@ -330,6 +330,12 @@ def preset(name: str) -> CKKSParams:
         p = _mk(n=2**8, n_q=4, n_p=2, scale_bits=28)
         t = gen_ntt_primes(16, 2 * p.n, 1)[0]
         return dataclasses.replace(p, plain_modulus=t)
+    if name == "bfv_n16":
+        # production-scale BFV: N=2^16, L=30 (the integer-scheme counterpart
+        # of the config5/bench CKKS chain). t = 786433 = 6*2^17 + 1 is the
+        # classic 20-bit NTT prime (t = 1 mod 2N for N=2^16).
+        p = _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+        return dataclasses.replace(p, plain_modulus=786433)
     if name == "bfv_eq":
         # Fermat equality circuits (ciphertext/exact.py): t = 257 is prime
         # with t - 1 = 2^8, so x^(t-1) is 8 squarings; t = 1 mod 2N holds
