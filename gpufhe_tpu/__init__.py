@@ -28,3 +28,4 @@ Design stance (TPU-first):
 __version__ = "0.1.0"
 
 from gpufhe_tpu.params.params import CKKSParams, make_context  # noqa: F401
+from gpufhe_tpu.api import Session  # noqa: F401

@@ -1,0 +1,62 @@
+"""Session facade (gpufhe_tpu/api.py): the batteries-included API drives all
+three schemes end to end — encrypt, algebra, rotations, matmul, decrypt."""
+
+import numpy as np
+import pytest
+
+from gpufhe_tpu.api import Session
+
+
+def test_ckks_session():
+    s = Session.create("tiny2", rotations=(1, 3))
+    n_s = s.params.slots
+    rng = np.random.default_rng(0)
+    za = rng.uniform(-1, 1, size=n_s)
+    zb = rng.uniform(-1, 1, size=n_s)
+    ca, cb = s.encrypt(za), s.encrypt(zb)
+    assert np.abs(s.decrypt(s.add(ca, cb)) - (za + zb)).max() < 1e-4
+    assert np.abs(s.decrypt(s.mul(ca, cb)) - za * zb).max() < 1e-3
+    assert np.abs(s.decrypt(s.mul_plain(ca, zb)) - za * zb).max() < 1e-3
+    assert np.abs(s.decrypt(s.rotate(ca, 3)) - np.roll(za, -3)).max() < 1e-4
+    prod = s.mul(ca, cb)
+    assert s.level(prod) == s.level(ca) - s.params.scale_words
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_integer_session(scheme):
+    name = "bgv_tiny" if scheme == "bgv" else "bfv_tiny"
+    s = Session.create(name, scheme=scheme, rotations="bsgs")
+    t = s.params.plain_modulus
+    n_s = s.params.slots
+    rng = np.random.default_rng(1)
+    va = rng.integers(0, t, size=n_s, dtype=np.int64)
+    vb = rng.integers(0, t, size=n_s, dtype=np.int64)
+    ca, cb = s.encrypt(va), s.encrypt(vb)
+    assert (s.decrypt(s.add(ca, cb))[0] == (va + vb) % t).all()
+    assert (s.decrypt(s.sub(ca, cb))[0] == (va - vb) % t).all()
+    prod = s.mul(ca, cb)
+    assert (s.decrypt(prod)[0] == va * vb % t).all()
+    if scheme == "bfv":
+        assert s.level(prod) == s.level(ca)  # scale-invariant
+        red = s.rescale(prod)
+        assert s.level(red) == s.level(prod) - 1
+        assert (s.decrypt(red)[0] == va * vb % t).all()
+    else:
+        assert s.level(prod) == s.level(ca) - 1
+    assert (s.decrypt(s.mul_plain(ca, vb))[0] == va * vb % t).all()
+    assert (s.decrypt(s.add_plain(ca, vb))[0] == (va + vb) % t).all()
+    got = s.decrypt(s.rotate(ca, 1))[0]
+    assert (got == np.roll(va, -1)).all()
+    a_mat = rng.integers(0, t, size=(n_s, n_s))
+    out = s.decrypt(s.matmul(ca, a_mat))[0]
+    want = (a_mat.astype(object) @ va.astype(object) % t).astype(np.int64)
+    assert (out == want).all()
+
+
+def test_scheme_inference_and_guards():
+    s = Session.create("bgv_tiny")
+    assert s.scheme == "bgv"
+    s2 = Session.create("tiny2")
+    assert s2.scheme == "ckks"
+    with pytest.raises(AssertionError):
+        Session.create("tiny2", scheme="bfv")
