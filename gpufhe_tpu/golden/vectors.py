@@ -130,11 +130,80 @@ def gen_config4_rotations(preset_name: str = "tiny2", seed: int = 104) -> dict:
     }
 
 
+def gen_bgv_integer(preset_name: str = "bgv_tiny", seed: int = 105) -> dict:
+    """BGV limb trace: encrypt -> mul (relin + modswitch) -> rotate."""
+    from gpufhe_tpu.golden import bgv as gbgv
+
+    params = preset(preset_name)
+    t = params.plain_modulus
+    rng = np.random.default_rng(seed)
+    sk, pk = gbgv.keygen(params, rng)
+    rlk = gbgv.make_relin_key(params, sk, rng)
+    gk = gbgv.make_galois_key(params, 1, sk, rng)
+    mrng = np.random.default_rng(seed + 1)
+    m1 = mrng.integers(0, t, size=params.n, dtype=np.int64)
+    m2 = mrng.integers(0, t, size=params.n, dtype=np.int64)
+    c1 = gbgv.encrypt(gbgv.encode(m1, params), params, pk,
+                      np.random.default_rng(seed + 2))
+    c2 = gbgv.encrypt(gbgv.encode(m2, params), params, pk,
+                      np.random.default_rng(seed + 3))
+    prod = gbgv.ct_mul(c1, c2, params, rlk)
+    rot = gbgv.ct_rotate(c1, 1, params, gk)
+    assert (gbgv.decrypt_decode(prod, params, sk) == m1 * m2 % t).all()
+    return {
+        "seed": np.int64(seed),
+        "preset": np.bytes_(preset_name.encode()),
+        "m1": m1, "m2": m2,
+        "ct1_c0": c1.c[0], "ct1_c1": c1.c[1],
+        "mul_c0": prod.c[0], "mul_c1": prod.c[1],
+        "mul_pt_factor": np.int64(prod.pt_factor),
+        "rot1_c0": rot.c[0], "rot1_c1": rot.c[1],
+    }
+
+
+def gen_bfv_integer(preset_name: str = "bfv_tiny", seed: int = 106) -> dict:
+    """BFV limb trace: encrypt -> scale-invariant mul (tensor + relin) ->
+    mod-reduce -> rotate -> scheme switch to BGV."""
+    from gpufhe_tpu.golden import bfv as gbfv
+
+    params = preset(preset_name)
+    t = params.plain_modulus
+    rng = np.random.default_rng(seed)
+    sk, pk = gbfv.keygen(params, rng)
+    rlk = gbfv.make_relin_key(params, sk, rng)
+    gk = gbfv.make_galois_key(params, 1, sk, rng)
+    mrng = np.random.default_rng(seed + 1)
+    m1 = mrng.integers(0, t, size=params.n, dtype=np.int64)
+    m2 = mrng.integers(0, t, size=params.n, dtype=np.int64)
+    c1 = gbfv.encrypt(gbfv.encode(m1, params), params, pk,
+                      np.random.default_rng(seed + 2))
+    c2 = gbfv.encrypt(gbfv.encode(m2, params), params, pk,
+                      np.random.default_rng(seed + 3))
+    prod = gbfv.ct_mul(c1, c2, params, rlk)
+    red = gbfv.ct_mod_reduce(prod, params)
+    rot = gbfv.ct_rotate(c1, 1, params, gk)
+    sw = gbfv.bfv_to_bgv(c1, params)
+    assert (gbfv.decrypt_decode(prod, params, sk) == m1 * m2 % t).all()
+    return {
+        "seed": np.int64(seed),
+        "preset": np.bytes_(preset_name.encode()),
+        "m1": m1, "m2": m2,
+        "ct1_c0": c1.c[0], "ct1_c1": c1.c[1],
+        "mul_c0": prod.c[0], "mul_c1": prod.c[1],
+        "modred_c0": red.c[0], "modred_c1": red.c[1],
+        "rot1_c0": rot.c[0], "rot1_c1": rot.c[1],
+        "switch_c0": sw.c[0], "switch_c1": sw.c[1],
+        "switch_pt_factor": np.int64(sw.pt_factor),
+    }
+
+
 GENERATORS = {
     "config1_ntt_60bit": gen_config1_ntt,
     "config2_rns": gen_config2_rns,
     "config3_ckks": gen_config3_ckks,
     "config4_rotations": gen_config4_rotations,
+    "bgv_integer": gen_bgv_integer,
+    "bfv_integer": gen_bfv_integer,
 }
 
 

@@ -86,3 +86,21 @@ def test_config4_rotation_vectors():
         if k in ("seed", "preset", "z"):
             continue
         assert (np.asarray(got[k], dtype=np.int64) == want[k]).all(), k
+
+
+def test_bgv_integer_vectors():
+    got = gv.gen_bgv_integer()
+    want = _load("bgv_integer")
+    for k in want.files:
+        if k in ("seed", "preset"):
+            continue
+        assert (np.asarray(got[k], dtype=np.int64) == want[k]).all(), k
+
+
+def test_bfv_integer_vectors():
+    got = gv.gen_bfv_integer()
+    want = _load("bfv_integer")
+    for k in want.files:
+        if k in ("seed", "preset"):
+            continue
+        assert (np.asarray(got[k], dtype=np.int64) == want[k]).all(), k
