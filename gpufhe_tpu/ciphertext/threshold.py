@@ -1,0 +1,180 @@
+"""Threshold (multiparty) FHE: additive key shares, joint public key,
+partial decryption with smudging noise.
+
+N-of-N additive threshold on top of any of the three schemes: each party i
+holds a ternary share s_i, the joint secret is s = sum_i s_i and is never
+materialized. Keygen is the standard one-round protocol — a common uniform
+`a` (from a public seed), each party publishes b_i = -a*s_i + e_i (e_i
+scaled by t for BGV), and the joint public key is (sum_i b_i, a). Anything
+encrypted under it supports the full LINEAR homomorphic surface plus
+plaintext multiplies; ciphertext-ciphertext multiplies need an interactive
+relinearization protocol and are out of scope here (the classic deployment
+— secure aggregation of many parties' contributions — is linear).
+
+Decryption is distributed: party i publishes p_i = c1 * s_i + e_smudge,i
+(smudging noise floods the share's information; BGV/BFV smudge with t*e /
+plain e respectively), and any aggregator computes m from
+c0 + sum_i p_i. No strict subset of parties learns anything: until the last
+share arrives the sum is uniformly masked by the missing a*s_j term.
+
+The reference has nothing (SURVEY.md §2.4); this is the multiparty row of
+the completeness envelope. Golden (numpy) and device (jitted partials)
+paths are bit-exact mirrors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpufhe_tpu.golden import ckks as gckks
+from gpufhe_tpu.params.params import CKKSParams
+
+
+@dataclasses.dataclass
+class PartyShare:
+    """One party's secret share + its public keygen contribution."""
+
+    s: np.ndarray  # signed ternary int64[N] (hold private)
+    b: np.ndarray  # int64[L, N] NTT domain: -a*s + (t*)e  (publish)
+
+
+def common_a(params: CKKSParams, seed: int) -> np.ndarray:
+    """The CRS: uniform `a` over the q-chain from a public seed."""
+    return gckks.sample_uniform(
+        np.random.default_rng(seed), params.q_primes, params.n
+    )
+
+
+def party_keygen(
+    params: CKKSParams, a: np.ndarray, rng: np.random.Generator
+) -> PartyShare:
+    primes = params.q_primes
+    t = params.plain_modulus
+    s = gckks.sample_ternary(rng, params.n)
+    s_ntt = gckks.ntt_limbs(gckks.small_to_rns(s, primes), params, primes)
+    e = gckks.sample_gauss(rng, params.n, params.sigma)
+    if t:  # BGV noise convention: errors ride on t*e
+        e = t * e
+    e_ntt = gckks.ntt_limbs(gckks.small_to_rns(e, primes), params, primes)
+    b = gckks.poly_add(
+        gckks.poly_mul(
+            gckks.poly_sub(np.zeros_like(a), a, primes), s_ntt, primes
+        ),
+        e_ntt, primes,
+    )
+    return PartyShare(s=s, b=b)
+
+
+def aggregate_public_key(params: CKKSParams, a: np.ndarray, bs: list) -> gckks.PublicKey:
+    """Joint pk = (sum_i b_i, a): valid under s = sum_i s_i."""
+    primes = params.q_primes
+    acc = bs[0]
+    for b in bs[1:]:
+        acc = gckks.poly_add(acc, b, primes)
+    return gckks.PublicKey(b=acc, a=a)
+
+
+# ---------------------------------------------------------------------------
+# Distributed decryption
+# ---------------------------------------------------------------------------
+
+
+def partial_decrypt(
+    ct, params: CKKSParams, share: PartyShare, rng: np.random.Generator,
+    smudge_sigma: float = 16.0,
+) -> np.ndarray:
+    """p_i = c1 * s_i + e_smudge (NTT domain, int64[K, N]). ct must be a
+    2-component ciphertext (relinearized / linear pipeline)."""
+    assert len(ct.c) == 2
+    primes = params.q_primes[: ct.level]
+    t = params.plain_modulus
+    s_ntt = gckks.ntt_limbs(
+        gckks.small_to_rns(share.s, primes), params, primes
+    )
+    e = gckks.sample_gauss(rng, params.n, smudge_sigma)
+    if t:
+        e = t * e
+    e_ntt = gckks.ntt_limbs(gckks.small_to_rns(e, primes), params, primes)
+    return gckks.poly_add(
+        gckks.poly_mul(ct.c[1], s_ntt, primes), e_ntt, primes
+    )
+
+
+def combine_partials(ct, params: CKKSParams, partials: list) -> np.ndarray:
+    """c0 + sum_i p_i -> plaintext coefficients (coefficient domain int64).
+
+    Interpret per scheme: CKKS -> golden decode(., ct.scale); BGV ->
+    centered mod t (times pt_factor); BFV -> round(t x / Q) mod t."""
+    primes = params.q_primes[: ct.level]
+    acc = ct.c[0]
+    for p in partials:
+        acc = gckks.poly_add(acc, p, primes)
+    return gckks.intt_limbs(acc, params, primes)
+
+
+def decrypt_ckks(ct, params, partials) -> np.ndarray:
+    coeff = combine_partials(ct, params, partials)
+    return gckks.decode(coeff, ct.scale, params.q_primes[: ct.level], params.n)
+
+
+def decrypt_bgv(ct, params, partials) -> np.ndarray:
+    t = params.plain_modulus
+    coeff = combine_partials(ct, params, partials)
+    centered = gckks.crt_compose_centered(coeff, params.q_primes[: ct.level])
+    return (centered % t * ct.pt_factor % t).astype(np.int64)
+
+
+def decrypt_bfv(ct, params, partials) -> np.ndarray:
+    import math
+
+    t = params.plain_modulus
+    primes = params.q_primes[: ct.level]
+    coeff = combine_partials(ct, params, partials)
+    centered = gckks.crt_compose_centered(coeff, primes)
+    big_q = math.prod(primes)
+    return np.array(
+        [((int(x) * t * 2 + big_q) // (2 * big_q)) % t for x in centered],
+        dtype=np.int64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device partials (jitted): the aggregator-side hot path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _partial_core(c1, s_mont, e_ntt, ctx, level):
+    from gpufhe_tpu.ops.modops import add_mod, mont_mul
+
+    q, qinv = ctx.q[:level][:, None], ctx.qinv_neg[:level][:, None]
+    return add_mod(mont_mul(c1, s_mont[:level], q, qinv), e_ntt, q)
+
+
+def partial_decrypt_device(
+    ct, params: CKKSParams, ctx, s_mont, share: PartyShare,
+    rng: np.random.Generator, smudge_sigma: float = 16.0,
+):
+    """Device mirror of partial_decrypt (bit-exact: same smudge draw)."""
+    primes = params.q_primes[: ct.level]
+    t = params.plain_modulus
+    e = gckks.sample_gauss(rng, params.n, smudge_sigma)
+    if t:
+        e = t * e
+    e_ntt = gckks.ntt_limbs(gckks.small_to_rns(e, primes), params, primes)
+    e_dev = jnp.asarray(e_ntt.astype(np.uint32))
+    return _partial_core(ct.c[1], s_mont, e_dev, ctx, ct.level)
+
+
+def upload_share(share: PartyShare, params: CKKSParams):
+    """Montgomery NTT-domain device mirror of the share (q-chain only)."""
+    from gpufhe_tpu.keys.keys import _mont_np
+
+    primes = params.q_primes
+    s_ntt = gckks.ntt_limbs(gckks.small_to_rns(share.s, primes), params, primes)
+    return _mont_np(s_ntt, primes)

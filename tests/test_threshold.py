@@ -1,0 +1,109 @@
+"""Threshold (multiparty) FHE: joint keygen, distributed decryption
+(ciphertext/threshold.py) — secure aggregation across all three schemes."""
+
+import numpy as np
+import pytest
+
+from gpufhe_tpu.ciphertext import threshold as th
+from gpufhe_tpu.golden import bfv as gbfv
+from gpufhe_tpu.golden import bgv as gbgv
+from gpufhe_tpu.golden import ckks as gckks
+from gpufhe_tpu.params.params import preset
+
+N_PARTIES = 3
+
+
+def _shares(params, seed=0):
+    a = th.common_a(params, seed=seed)
+    shares = [
+        th.party_keygen(params, a, np.random.default_rng(100 + i))
+        for i in range(N_PARTIES)
+    ]
+    pk = th.aggregate_public_key(params, a, [s.b for s in shares])
+    return a, shares, pk
+
+
+def test_ckks_threshold_aggregation():
+    """Three parties' encrypted vectors summed homomorphically; decryption
+    needs ALL shares (partial sets yield garbage)."""
+    params = preset("tiny2")
+    _, shares, pk = _shares(params)
+    rng = np.random.default_rng(1)
+    vecs = [rng.uniform(-1, 1, size=params.slots) for _ in range(N_PARTIES)]
+    cts = [
+        gckks.encrypt(
+            gckks.encode(v + 0j, params.scale, params.q_primes, params.n),
+            params, pk, np.random.default_rng(10 + i), params.scale,
+        )
+        for i, v in enumerate(vecs)
+    ]
+    acc = cts[0]
+    for ct in cts[1:]:
+        acc = gckks.ct_add(acc, ct, params)
+    partials = [
+        th.partial_decrypt(acc, params, s, np.random.default_rng(20 + i))
+        for i, s in enumerate(shares)
+    ]
+    got = th.decrypt_ckks(acc, params, partials)
+    want = np.sum(vecs, axis=0)
+    assert np.abs(got.real - want).max() < 1e-3
+    # any strict subset of partials decodes to garbage (masked by a*s_j)
+    bad = th.decrypt_ckks(acc, params, partials[:-1])
+    assert np.abs(bad.real - want).max() > 1.0
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_integer_threshold_aggregation(scheme):
+    params = preset("bgv_tiny" if scheme == "bgv" else "bfv_tiny")
+    t = params.plain_modulus
+    _, shares, pk = _shares(params, seed=3)
+    gold = gbgv if scheme == "bgv" else gbfv
+    rng = np.random.default_rng(4)
+    vecs = [
+        rng.integers(0, t, size=params.n, dtype=np.int64)
+        for _ in range(N_PARTIES)
+    ]
+    cts = [
+        gold.encrypt(gold.encode(v, params), params, pk,
+                     np.random.default_rng(30 + i))
+        for i, v in enumerate(vecs)
+    ]
+    acc = cts[0]
+    for ct in cts[1:]:
+        acc = gold.ct_add(acc, ct, params)
+    partials = [
+        th.partial_decrypt(acc, params, s, np.random.default_rng(40 + i))
+        for i, s in enumerate(shares)
+    ]
+    dec = th.decrypt_bgv if scheme == "bgv" else th.decrypt_bfv
+    got = gold.decode(dec(acc, params, partials), params)
+    want = np.sum(vecs, axis=0) % t
+    assert (got == want).all()
+
+
+def test_device_partial_matches_golden():
+    """The jitted partial-decryption core mirrors the golden partial
+    limb-exactly (same share, same smudge draw)."""
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.params.params import make_context
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    _, shares, pk = _shares(params, seed=7)
+    rng = np.random.default_rng(8)
+    v = rng.uniform(-1, 1, size=params.slots)
+    g = gckks.encrypt(
+        gckks.encode(v + 0j, params.scale, params.q_primes, params.n),
+        params, pk, np.random.default_rng(9), params.scale,
+    )
+    want = th.partial_decrypt(g, params, shares[0], np.random.default_rng(50))
+    d = dct.Ciphertext(
+        [jnp.asarray(c.astype(np.uint32)) for c in g.c], g.level, g.scale
+    )
+    s_mont = th.upload_share(shares[0], params)
+    got = th.partial_decrypt_device(
+        d, params, ctx, s_mont, shares[0], np.random.default_rng(50)
+    )
+    assert (np.asarray(got) == want.astype(np.uint32)).all()
