@@ -80,6 +80,124 @@ def aggregate_public_key(params: CKKSParams, a: np.ndarray, bs: list) -> gckks.P
 
 
 # ---------------------------------------------------------------------------
+# Interactive relinearization-key generation (two rounds)
+#
+# The Mouchet et al. multiparty-HE pattern: with common uniform gadget rows
+# a_d (CRS) and joint secret s = sum s_i, the parties produce
+# rlk = (b_d, h1_d) with  b_d + h1_d * s = s^2 g_d + noise  — a drop-in
+# gckks.KSKey, so the ordinary single-chip relinearization then works on
+# jointly-encrypted ciphertexts. Round 1 publishes
+#   h0_i = -u_i a + s_i g + e0_i,   h1_i = s_i a + e1_i
+# (u_i an ephemeral ternary secret); round 2, on the aggregated h0/h1,
+#   h0'_i = s_i h0 + e2_i,          h1'_i = (u_i - s_i) h1 + e3_i
+# and b = sum h0' + sum h1'. BGV scales every error by t.
+# ---------------------------------------------------------------------------
+
+
+def rkg_common_a(params: CKKSParams, seed: int) -> np.ndarray:
+    """CRS gadget rows: uniform int64[dnum, L+alpha, N] over the QP chain."""
+    qp = params.q_primes + params.p_primes
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [gckks.sample_uniform(rng, qp, params.n) for _ in range(params.dnum)]
+    )
+
+
+def _t_gauss(params, rng):
+    e = gckks.sample_gauss(rng, params.n, params.sigma)
+    return params.plain_modulus * e if params.plain_modulus else e
+
+
+def _small_ntt(x, params, qp):
+    return gckks.ntt_limbs(gckks.small_to_rns(x, qp), params, qp)
+
+
+def rkg_round1(
+    params: CKKSParams, a_rows: np.ndarray, share: PartyShare,
+    rng: np.random.Generator,
+):
+    """-> (u_i ephemeral secret [keep private], h0_i, h1_i [publish])."""
+    qp = params.q_primes + params.p_primes
+    u = gckks.sample_ternary(rng, params.n)
+    u_ntt = _small_ntt(u, params, qp)
+    s_ntt = _small_ntt(share.s, params, qp)
+    factors = gckks.gadget_factors(params)
+    h0, h1 = [], []
+    for d, a in enumerate(a_rows):
+        g_rns = np.array([factors[d] % q for q in qp], dtype=np.int64)[:, None]
+        e0 = _small_ntt(_t_gauss(params, rng), params, qp)
+        e1 = _small_ntt(_t_gauss(params, rng), params, qp)
+        q_col = np.array(qp, dtype=object)[:, None]
+        h0.append(np.asarray(
+            (-(a.astype(object)) * u_ntt + g_rns * s_ntt + e0) % q_col
+        ).astype(np.int64))
+        h1.append(np.asarray(
+            (a.astype(object) * s_ntt + e1) % q_col
+        ).astype(np.int64))
+    return u, np.stack(h0), np.stack(h1)
+
+
+def rkg_round2(
+    params: CKKSParams, share: PartyShare, u: np.ndarray,
+    h0_agg: np.ndarray, h1_agg: np.ndarray, rng: np.random.Generator,
+):
+    """-> (h0'_i, h1'_i) on the round-1 aggregates (publish)."""
+    qp = params.q_primes + params.p_primes
+    s_ntt = _small_ntt(share.s, params, qp)
+    us_ntt = _small_ntt(u - share.s, params, qp)
+    q_col = np.array(qp, dtype=object)[:, None]
+    h0p, h1p = [], []
+    for d in range(h0_agg.shape[0]):
+        e2 = _small_ntt(_t_gauss(params, rng), params, qp)
+        e3 = _small_ntt(_t_gauss(params, rng), params, qp)
+        h0p.append(np.asarray(
+            (h0_agg[d].astype(object) * s_ntt + e2) % q_col
+        ).astype(np.int64))
+        h1p.append(np.asarray(
+            (h1_agg[d].astype(object) * us_ntt + e3) % q_col
+        ).astype(np.int64))
+    return np.stack(h0p), np.stack(h1p)
+
+
+def rkg_aggregate_round1(params, h0_list, h1_list):
+    qp = np.array(params.q_primes + params.p_primes, dtype=np.int64)[None, :, None]
+    h0 = np.sum(np.stack(h0_list, axis=0), axis=0) % qp
+    h1 = np.sum(np.stack(h1_list, axis=0), axis=0) % qp
+    return h0, h1
+
+
+def rkg_finalize(params, h0p_list, h1p_list, h1_agg) -> gckks.KSKey:
+    """rlk = (sum h0' + sum h1', h1): a drop-in gckks.KSKey."""
+    qp = np.array(params.q_primes + params.p_primes, dtype=np.int64)[None, :, None]
+    b = (
+        np.sum(np.stack(h0p_list, axis=0), axis=0)
+        + np.sum(np.stack(h1p_list, axis=0), axis=0)
+    ) % qp
+    return gckks.KSKey(b=b.astype(np.int64), a=h1_agg.astype(np.int64))
+
+
+def collaborative_relin_key(
+    params: CKKSParams, shares: list, seed: int = 0
+) -> gckks.KSKey:
+    """Run the whole two-round protocol in-process (testing / trusted
+    orchestration; production would exchange the h* messages)."""
+    a_rows = rkg_common_a(params, seed)
+    r1 = [
+        rkg_round1(params, a_rows, sh, np.random.default_rng(1000 + i))
+        for i, sh in enumerate(shares)
+    ]
+    h0_agg, h1_agg = rkg_aggregate_round1(
+        params, [x[1] for x in r1], [x[2] for x in r1]
+    )
+    r2 = [
+        rkg_round2(params, sh, r1[i][0], h0_agg, h1_agg,
+                   np.random.default_rng(2000 + i))
+        for i, sh in enumerate(shares)
+    ]
+    return rkg_finalize(params, [x[0] for x in r2], [x[1] for x in r2], h1_agg)
+
+
+# ---------------------------------------------------------------------------
 # Distributed decryption
 # ---------------------------------------------------------------------------
 

@@ -107,3 +107,50 @@ def test_device_partial_matches_golden():
         d, params, ctx, s_mont, shares[0], np.random.default_rng(50)
     )
     assert (np.asarray(got) == want.astype(np.uint32)).all()
+
+
+def test_collaborative_relinearization_ckks():
+    """Two-round interactive RKG yields a drop-in relin key: a ct-ct multiply
+    on jointly-encrypted data decrypts correctly under threshold decryption."""
+    params = preset("tiny2")
+    _, shares, pk = _shares(params, seed=11)
+    rlk = th.collaborative_relin_key(params, shares, seed=12)
+    rng = np.random.default_rng(13)
+    za = rng.uniform(-1, 1, size=params.slots)
+    zb = rng.uniform(-1, 1, size=params.slots)
+    enc = lambda z, i: gckks.encrypt(
+        gckks.encode(z + 0j, params.scale, params.q_primes, params.n),
+        params, pk, np.random.default_rng(60 + i), params.scale,
+    )
+    prod = gckks.ct_mul(enc(za, 0), enc(zb, 1), params, rlk)
+    partials = [
+        th.partial_decrypt(prod, params, s, np.random.default_rng(70 + i))
+        for i, s in enumerate(shares)
+    ]
+    got = th.decrypt_ckks(prod, params, partials)
+    assert np.abs(got.real - za * zb).max() < 1e-2
+
+
+def test_collaborative_relinearization_bfv():
+    params = preset("bfv_tiny")
+    t = params.plain_modulus
+    _, shares, pk = _shares(params, seed=21)
+    # BFV key noise is NOT t-scaled: clear plain_modulus for the RKG errors
+    import dataclasses
+
+    kp = dataclasses.replace(params, plain_modulus=0)
+    kp_shares = [th.PartyShare(s=s.s, b=s.b) for s in shares]
+    rlk = th.collaborative_relin_key(kp, kp_shares, seed=22)
+    rng = np.random.default_rng(23)
+    va = rng.integers(0, t, size=params.n, dtype=np.int64)
+    vb = rng.integers(0, t, size=params.n, dtype=np.int64)
+    enc = lambda v, i: gbfv.encrypt(
+        gbfv.encode(v, params), params, pk, np.random.default_rng(80 + i)
+    )
+    prod = gbfv.ct_mul(enc(va, 0), enc(vb, 1), params, rlk)
+    partials = [
+        th.partial_decrypt(prod, params, s, np.random.default_rng(90 + i))
+        for i, s in enumerate(shares)
+    ]
+    got = gbfv.decode(th.decrypt_bfv(prod, params, partials), params)
+    assert (got == va * vb % t).all()
