@@ -198,6 +198,53 @@ def collaborative_relin_key(
 
 
 # ---------------------------------------------------------------------------
+# Collaborative Galois keys (ONE round): each party can evaluate the
+# automorphism on its own share, so with common gadget rows a_d the shares
+#   hg_i,d = -a_d s_i + sigma(s_i) g_d + e_i,d
+# aggregate directly to a valid rotation key for the joint secret.
+# ---------------------------------------------------------------------------
+
+
+def gkg_share(
+    params: CKKSParams, a_rows: np.ndarray, share: PartyShare, steps: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    qp = params.q_primes + params.p_primes
+    g_exp = gckks.galois_exponent(steps, params.n)
+    s_ntt = _small_ntt(share.s, params, qp)
+    sg_ntt = _small_ntt(
+        gckks.apply_automorphism_coeff(share.s, g_exp), params, qp
+    )
+    factors = gckks.gadget_factors(params)
+    q_col = np.array(qp, dtype=object)[:, None]
+    rows = []
+    for d, a in enumerate(a_rows):
+        g_rns = np.array([factors[d] % q for q in qp], dtype=np.int64)[:, None]
+        e = _small_ntt(_t_gauss(params, rng), params, qp)
+        rows.append(np.asarray(
+            (-(a.astype(object)) * s_ntt + g_rns * sg_ntt + e) % q_col
+        ).astype(np.int64))
+    return np.stack(rows)
+
+
+def gkg_finalize(params, a_rows: np.ndarray, hg_list: list) -> gckks.KSKey:
+    qp = np.array(params.q_primes + params.p_primes, dtype=np.int64)[None, :, None]
+    b = np.sum(np.stack(hg_list, axis=0), axis=0) % qp
+    return gckks.KSKey(b=b.astype(np.int64), a=a_rows.astype(np.int64))
+
+
+def collaborative_galois_key(
+    params: CKKSParams, shares: list, steps: int, seed: int = 0
+) -> gckks.KSKey:
+    a_rows = rkg_common_a(params, seed)
+    hg = [
+        gkg_share(params, a_rows, sh, steps, np.random.default_rng(3000 + i))
+        for i, sh in enumerate(shares)
+    ]
+    return gkg_finalize(params, a_rows, hg)
+
+
+# ---------------------------------------------------------------------------
 # Distributed decryption
 # ---------------------------------------------------------------------------
 

@@ -154,3 +154,24 @@ def test_collaborative_relinearization_bfv():
     ]
     got = gbfv.decode(th.decrypt_bfv(prod, params, partials), params)
     assert (got == va * vb % t).all()
+
+
+def test_collaborative_galois_key_rotation():
+    """One-round collaborative rotation key: rotate jointly-encrypted slots,
+    threshold-decrypt, compare to the rolled cleartext."""
+    params = preset("tiny2")
+    _, shares, pk = _shares(params, seed=31)
+    gk = th.collaborative_galois_key(params, shares, steps=2, seed=32)
+    rng = np.random.default_rng(33)
+    z = rng.uniform(-1, 1, size=params.slots)
+    ct = gckks.encrypt(
+        gckks.encode(z + 0j, params.scale, params.q_primes, params.n),
+        params, pk, np.random.default_rng(34), params.scale,
+    )
+    rot = gckks.ct_rotate(ct, 2, params, gk)
+    partials = [
+        th.partial_decrypt(rot, params, s, np.random.default_rng(35 + i))
+        for i, s in enumerate(shares)
+    ]
+    got = th.decrypt_ckks(rot, params, partials)
+    assert np.abs(got.real - np.roll(z, -2)).max() < 1e-2
