@@ -273,6 +273,52 @@ def _cmd_demo_bgv(args):
     }))
 
 
+def _cmd_demo_threshold(args):
+    """Multiparty secure aggregation + a collaborative-relin multiply."""
+    import numpy as _np
+
+    from gpufhe_tpu.ciphertext import threshold as th
+    from gpufhe_tpu.golden import ckks as gckks
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    n_parties = args.parties
+    a = th.common_a(params, seed=0)
+    shares = [
+        th.party_keygen(params, a, _np.random.default_rng(100 + i))
+        for i in range(n_parties)
+    ]
+    pk = th.aggregate_public_key(params, a, [s.b for s in shares])
+    rlk = th.collaborative_relin_key(params, shares, seed=1)
+
+    rng = _np.random.default_rng(2)
+    vecs = [rng.uniform(-1, 1, size=params.slots) for _ in range(n_parties)]
+    cts = [
+        gckks.encrypt(
+            gckks.encode(v + 0j, params.scale, params.q_primes, params.n),
+            params, pk, _np.random.default_rng(10 + i), params.scale,
+        )
+        for i, v in enumerate(vecs)
+    ]
+    acc = cts[0]
+    for ct in cts[1:]:
+        acc = gckks.ct_add(acc, ct, params)
+    sq = gckks.ct_mul(acc, acc, params, rlk)  # (sum)^2 via collaborative rlk
+    partials = [
+        th.partial_decrypt(sq, params, s, _np.random.default_rng(20 + i))
+        for i, s in enumerate(shares)
+    ]
+    got = th.decrypt_ckks(sq, params, partials).real
+    want = _np.sum(vecs, axis=0) ** 2
+    print(json.dumps({
+        "demo": "threshold_secure_aggregation",
+        "preset": args.preset,
+        "parties": n_parties,
+        "op": "square(sum of encrypted party vectors)",
+        "abs_err": float(round(_np.abs(got - want).max(), 6)),
+    }))
+
+
 def _cmd_demo_bfv(args):
     """Exact encrypted integer matvec + ct-ct multiply on BFV slots."""
     from gpufhe_tpu.ciphertext import bfv as dbfv
@@ -451,6 +497,13 @@ def main(argv=None):
     )
     bf.add_argument("--preset", default="bfv_tiny")
     bf.set_defaults(fn=_cmd_demo_bfv)
+
+    thp = sub.add_parser(
+        "demo-threshold", help="multiparty secure aggregation (threshold FHE)"
+    )
+    thp.add_argument("--preset", default="tiny2")
+    thp.add_argument("--parties", type=int, default=3)
+    thp.set_defaults(fn=_cmd_demo_threshold)
 
     w = sub.add_parser("scaling", help="sharded-mult scaling report over mesh shapes")
     w.add_argument("--preset", default="tiny2")
