@@ -29,6 +29,40 @@ def bsgs_rotations(slots: int) -> list[int]:
     return sorted(set(babies + giants))
 
 
+def pow2_rotations(slots: int) -> list[int]:
+    """Power-of-two step set: rotate by ANY amount via rotate_composed with
+    only log2(slots) Galois keys (vs one key per distinct step)."""
+    out = []
+    s = 1
+    while s < slots:
+        out.append(s)
+        s *= 2
+    return out
+
+
+def rotate_composed(be, ct, steps: int):
+    """Rotate by an arbitrary step count using only power-of-two keys.
+
+    Binary-decomposes `steps` (mod slots) into at most log2(slots)
+    single-key rotations — the standard key-storage/latency trade against
+    holding a key per step. Works on any backend exposing rotate()."""
+    n_s = be.params.slots
+    steps %= n_s
+
+    def rot1(c, s):
+        if hasattr(be, "rotate"):
+            return be.rotate(c, s)
+        return be.rotate_hoisted(c, [s])[s]  # CKKS DeviceBackend surface
+
+    s = 1
+    while steps:
+        if steps & 1:
+            ct = rot1(ct, s)
+        steps >>= 1
+        s *= 2
+    return ct
+
+
 def _diag(m: np.ndarray, r: int) -> np.ndarray:
     n = m.shape[0]
     j = np.arange(n)

@@ -60,3 +60,27 @@ def test_scheme_inference_and_guards():
     assert s2.scheme == "ckks"
     with pytest.raises(AssertionError):
         Session.create("tiny2", scheme="bfv")
+
+
+def test_rotate_composed_pow2_keys():
+    """Arbitrary rotation amounts from only log2(slots) power-of-two keys
+    (linalg.rotate_composed), on both a CKKS and a BGV session."""
+    from gpufhe_tpu.ciphertext import linalg
+
+    s = Session.create("tiny2", rotations=tuple(linalg.pow2_rotations(
+        Session.create("tiny2").params.slots)))
+    n_s = s.params.slots
+    z = np.random.default_rng(7).uniform(-1, 1, size=n_s)
+    ct = s.encrypt(z)
+    for k in (3, 11, n_s - 1):
+        out = linalg.rotate_composed(s.be, ct, k)
+        assert np.abs(s.decrypt(out) - np.roll(z, -k)).max() < 1e-3
+
+    b = Session.create(
+        "bgv_tiny", rotations=tuple(linalg.pow2_rotations(128))
+    )
+    t = b.params.plain_modulus
+    v = np.random.default_rng(8).integers(0, t, size=b.params.slots)
+    ct = b.encrypt(v)
+    out = linalg.rotate_composed(b.be, ct, 37)
+    assert (b.decrypt(out)[0] == np.roll(v, -37)).all()
