@@ -273,6 +273,14 @@ def _cmd_demo_bgv(args):
     }))
 
 
+def _cmd_security(args):
+    """HE-standard logQP budget report (utils/security.py)."""
+    from gpufhe_tpu.params.params import preset
+    from gpufhe_tpu.utils import security
+
+    print(json.dumps({"preset": args.preset, **security.report(preset(args.preset))}))
+
+
 def _cmd_demo_threshold(args):
     """Multiparty secure aggregation + a collaborative-relin multiply."""
     import numpy as _np
@@ -504,6 +512,12 @@ def main(argv=None):
     thp.add_argument("--preset", default="tiny2")
     thp.add_argument("--parties", type=int, default=3)
     thp.set_defaults(fn=_cmd_demo_threshold)
+
+    sec = sub.add_parser(
+        "security", help="HE-standard security report for a preset"
+    )
+    sec.add_argument("--preset", default="config5_boot_dw")
+    sec.set_defaults(fn=_cmd_security)
 
     w = sub.add_parser("scaling", help="sharded-mult scaling report over mesh shapes")
     w.add_argument("--preset", default="tiny2")
