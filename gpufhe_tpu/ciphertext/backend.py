@@ -113,7 +113,10 @@ class FusedPipeline:
             uniq, index, seen = [], [], {}
             for c in closed.consts:
                 a = np.asarray(c)
-                k = (a.shape, a.dtype.str, hash(a.tobytes()))
+                # key on the actual bytes, not hash(bytes): a hash collision
+                # would silently substitute one key/plaintext for another in
+                # a bit-exact pipeline (bytes are already materialized)
+                k = (a.shape, a.dtype.str, a.tobytes())
                 i = seen.get(k)
                 if i is None:
                     i = seen[k] = len(uniq)

@@ -178,15 +178,12 @@ def encrypt(
 def decrypt(
     ct: BFVCiphertext, params: CKKSParams, sk, ctx: Context
 ) -> np.ndarray:
-    t = params.plain_modulus
     coeff = dct._decrypt_core(tuple(ct.c), sk.s_mont, ctx, params, ct.level)
     coeff = np.asarray(coeff).astype(np.int64)
     primes = params.q_primes[: ct.level]
     centered = gckks.crt_compose_centered(coeff, primes)
-    big_q = math.prod(primes)
-    return np.array(
-        [((int(x) * t * 2 + big_q) // (2 * big_q)) % t for x in centered],
-        dtype=np.int64,
+    return gbfv.round_decode_coeff(
+        centered, params.plain_modulus, math.prod(primes)
     )
 
 

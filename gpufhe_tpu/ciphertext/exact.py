@@ -11,11 +11,13 @@ x^(t-1) = 1 for x != 0 and 0 for x == 0, so
 
 Exponentiation is square-and-multiply on ciphertexts; with t - 1 a power of
 two (presets like bfv_eq: t = 257) it is log2(t-1) squarings. BFV is the
-natural host — its multiply keeps the level, so depth costs only noise
-(~log2(t * N * L) bits per squaring) — but any backend exposing mul /
-mul_plain / add_plain / encode_slots works, including BGV (which spends a
-level per squaring). The CKKS counterpart is the approximate sign/compare
-suite in ciphertext/compare.py; these are EXACT. The reference has nothing
+natural host — its multiply keeps the level, so the full x^(t-1) ladder
+costs only noise (~log2(t * N * L) bits per squaring) on a chain sized for
+the budget. The generic ops (ct_pow_const) also run on BGV — operands are
+level-aligned via ModSwitch between hops — but there a Fermat ladder needs
+log2(t) + popcount(t-1) LEVELS, so full predicates are only practical on
+BFV. The CKKS counterpart is the approximate sign/compare suite in
+ciphertext/compare.py; these are EXACT. The reference has nothing
 (SURVEY.md §2.4).
 """
 
@@ -24,14 +26,29 @@ from __future__ import annotations
 import numpy as np
 
 
+def _level_align(be, a, b):
+    """Bring two cts to a common level (BGV: mul drops one level per hop, so
+    square-and-multiply operands diverge; rescale/ModSwitch keeps the
+    plaintext on both integer schemes). No-op for BFV."""
+    while be.level(a) > be.level(b):
+        a = be.rescale(a)
+    while be.level(b) > be.level(a):
+        b = be.rescale(b)
+    return a, b
+
+
 def ct_pow_const(be, ct, e: int):
-    """ct^e by square-and-multiply (e >= 1)."""
+    """ct^e by square-and-multiply (e >= 1). On BGV this consumes about
+    log2(e) + popcount(e) levels; on BFV the level never moves."""
     assert e >= 1
     result = None
     base = ct
     while e:
         if e & 1:
-            result = base if result is None else be.mul(result, base)
+            if result is None:
+                result = base
+            else:
+                result = be.mul(*_level_align(be, result, base))
         e >>= 1
         if e:
             base = be.mul(base, base)

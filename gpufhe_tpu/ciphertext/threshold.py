@@ -12,10 +12,13 @@ relinearization protocol and are out of scope here (the classic deployment
 — secure aggregation of many parties' contributions — is linear).
 
 Decryption is distributed: party i publishes p_i = c1 * s_i + e_smudge,i
-(smudging noise floods the share's information; BGV/BFV smudge with t*e /
-plain e respectively), and any aggregator computes m from
-c0 + sum_i p_i. No strict subset of parties learns anything: until the last
-share arrives the sum is uniformly masked by the missing a*s_j term.
+(BGV smudges with t*e, CKKS/BFV with plain e), and any aggregator computes
+m from c0 + sum_i p_i. No strict subset of parties learns the message:
+until the last share arrives the sum is masked by the missing a*s_j term.
+Smudging must be SIZED for statistical security (>= 2^lambda_stat * the
+ciphertext noise bound — see partial_decrypt's security note); the model is
+honest-but-curious, and partial decryption must only be offered for
+honestly-derived ciphertexts.
 
 The reference has nothing (SURVEY.md §2.4); this is the multiparty row of
 the completeness envelope. Golden (numpy) and device (jitted partials)
@@ -254,7 +257,19 @@ def partial_decrypt(
     smudge_sigma: float = 16.0,
 ) -> np.ndarray:
     """p_i = c1 * s_i + e_smudge (NTT domain, int64[K, N]). ct must be a
-    2-component ciphertext (relinearized / linear pipeline)."""
+    2-component ciphertext (relinearized / linear pipeline).
+
+    SECURITY (honest-but-curious model): the smudging noise must flood the
+    share's contribution. The statistical-security requirement is
+    smudge_sigma >= 2^lambda_stat * B_ct (B_ct the ciphertext noise bound),
+    which trades precision (CKKS) / budget (BGV/BFV) for privacy — size it
+    per deployment; the small default only exercises the protocol shape.
+    Parties must also only respond for ciphertexts from the agreed pipeline:
+    a malicious aggregator submitting a crafted c1 (e.g. a constant
+    polynomial) turns a lightly-smudged partial into a linear read of s_i.
+    Production deployments gate partial decryption on transcript validation
+    or ZK proofs of ciphertext provenance; that machinery is out of scope
+    here."""
     assert len(ct.c) == 2
     primes = params.q_primes[: ct.level]
     t = params.plain_modulus
@@ -297,15 +312,12 @@ def decrypt_bgv(ct, params, partials) -> np.ndarray:
 def decrypt_bfv(ct, params, partials) -> np.ndarray:
     import math
 
-    t = params.plain_modulus
+    from gpufhe_tpu.golden.bfv import round_decode_coeff
+
     primes = params.q_primes[: ct.level]
     coeff = combine_partials(ct, params, partials)
     centered = gckks.crt_compose_centered(coeff, primes)
-    big_q = math.prod(primes)
-    return np.array(
-        [((int(x) * t * 2 + big_q) // (2 * big_q)) % t for x in centered],
-        dtype=np.int64,
-    )
+    return round_decode_coeff(centered, params.plain_modulus, math.prod(primes))
 
 
 # ---------------------------------------------------------------------------

@@ -106,8 +106,14 @@ def bfv_aux_params(params: CKKSParams, level: int | None = None) -> CKKSParams:
             break
     k, bits = 0, 0.0
     while bits < bits_needed:
+        assert k < len(cands), (
+            f"NTT-prime classes exhausted sizing the BFV aux basis: have "
+            f"{bits:.0f}/{bits_needed:.0f} bits from {len(cands)} candidates "
+            f"(N={params.n}, level={lvl})"
+        )
         bits += math.log2(cands[k])
         k += 1
+    assert k < len(cands), "no candidate left for the redundant modulus m_sk"
     aux = tuple(cands[: k + 1])  # k conversion primes + m_sk (last)
     return CKKSParams(
         n=params.n, q_primes=aux, p_primes=(), scale_bits=params.scale_bits,
@@ -174,9 +180,19 @@ def encrypt(
     return BFVCiphertext(c=[c0, c1], level=level)
 
 
-def decrypt(ct: BFVCiphertext, params: CKKSParams, sk) -> np.ndarray:
-    """-> int64[N] plaintext coefficients mod t: round(t * x / Q) mod t."""
-    t = params.plain_modulus
+def round_decode_coeff(centered, t: int, big_q: int) -> np.ndarray:
+    """round(t * x / Q) mod t over centered bigint coefficients — the ONE
+    copy of the BFV rounding formula (shared by the device decrypt,
+    ciphertext/bfv.py, and threshold decryption, ciphertext/threshold.py).
+    Round-half-up works for negative x under Python floor division."""
+    return np.array(
+        [((int(x) * t * 2 + big_q) // (2 * big_q)) % t for x in centered],
+        dtype=np.int64,
+    )
+
+
+def _inner_product_centered(ct: BFVCiphertext, params: CKKSParams, sk):
+    """(centered bigint coefficients of c0 + sum c_i s^i, big_q)."""
     primes = ct.primes(params)
     s_ntt = gckks.ntt_limbs(gckks.small_to_rns(sk.s, primes), params, primes)
     acc = ct.c[0]
@@ -185,14 +201,13 @@ def decrypt(ct: BFVCiphertext, params: CKKSParams, sk) -> np.ndarray:
         acc = gckks.poly_add(acc, gckks.poly_mul(comp, s_pow, primes), primes)
         s_pow = gckks.poly_mul(s_pow, s_ntt, primes)
     coeff = gckks.intt_limbs(acc, params, primes)
-    centered = gckks.crt_compose_centered(coeff, primes)  # object bigints
-    big_q = math.prod(primes)
-    # round-half-up works for negative x too under Python floor division
-    m = np.array(
-        [((int(x) * t * 2 + big_q) // (2 * big_q)) % t for x in centered],
-        dtype=np.int64,
-    )
-    return m
+    return gckks.crt_compose_centered(coeff, primes), math.prod(primes)
+
+
+def decrypt(ct: BFVCiphertext, params: CKKSParams, sk) -> np.ndarray:
+    """-> int64[N] plaintext coefficients mod t: round(t * x / Q) mod t."""
+    centered, big_q = _inner_product_centered(ct, params, sk)
+    return round_decode_coeff(centered, params.plain_modulus, big_q)
 
 
 def decrypt_decode(ct, params, sk):
@@ -202,17 +217,8 @@ def decrypt_decode(ct, params, sk):
 def noise_budget_bits(ct: BFVCiphertext, params: CKKSParams, sk) -> float:
     """log2(Delta / (2*|e|_inf)) — bits of rounding margin left."""
     t = params.plain_modulus
-    primes = ct.primes(params)
-    big_q = math.prod(primes)
-    m = decrypt(ct, params, sk)
-    s_ntt = gckks.ntt_limbs(gckks.small_to_rns(sk.s, primes), params, primes)
-    acc = ct.c[0]
-    s_pow = s_ntt
-    for comp in ct.c[1:]:
-        acc = gckks.poly_add(acc, gckks.poly_mul(comp, s_pow, primes), primes)
-        s_pow = gckks.poly_mul(s_pow, s_ntt, primes)
-    coeff = gckks.intt_limbs(acc, params, primes)
-    centered = gckks.crt_compose_centered(coeff, primes)
+    centered, big_q = _inner_product_centered(ct, params, sk)
+    m = round_decode_coeff(centered, t, big_q)
     delta = big_q // t
     worst = 0
     for x, mm in zip(centered, m):
@@ -303,7 +309,6 @@ def ct_tensor(a: BFVCiphertext, b: BFVCiphertext, params) -> BFVCiphertext:
     aux = auxp.q_primes
     big_q = math.prod(q_primes)
     q_arr = np.array(q_primes, dtype=np.int64)[:, None]
-    aux_arr = np.array(aux, dtype=np.int64)[:, None]
 
     # 1. extend a, b to the aux basis (coeff domain, approximate conversion)
     def to_aux_ntt(comp):

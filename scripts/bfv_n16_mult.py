@@ -1,14 +1,13 @@
 """Production-scale BFV multiply timing on the real TPU: N=2^16, L=30.
 
-The integer-scheme counterpart of bench.py's CKKS headline. BFV multiplies
-keep the level, so the timing chain is data-dependent squarings of one
-ciphertext (out = relin(tensor(out, out))) — per-dispatch tunnel overhead
-(~1.5 ms, CLAUDE.md) is amortized over the two dispatches per mult and the
-chain defeats dead-code elimination. Timing is read-synced (a bare
-block_until_ready can return early through the axon tunnel).
+The integer-scheme counterpart of bench.py's CKKS headline, using the SAME
+methodology: a fori_loop chain of data-dependent multiplies inside ONE
+compiled program (optimization_barrier ties iterations), then a read-synced
+wall-clock — per-dispatch tunnel overhead (~1.5 ms and output-size-
+dependent, CLAUDE.md) never enters the timed section. Correctness is
+asserted separately by decrypting a short eager chain (exact mod t).
 
-Writes BFV_N16.json. Correctness is asserted by decrypting the end of a
-short chain (exact mod t).
+Writes BFV_N16.json.
 """
 
 import json
@@ -18,26 +17,31 @@ import numpy as np
 import jax
 
 from gpufhe_tpu.ciphertext import bfv as dbfv
+from gpufhe_tpu.ciphertext import ct as dct
 from gpufhe_tpu.golden import bfv as gbfv
 from gpufhe_tpu.params.params import preset, make_context
 
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
+CHAIN = 16
 params = preset("bfv_n16")
 t = params.plain_modulus
-print(f"# N={params.n} L={params.num_limbs} t={t}")
+level = params.num_limbs
+print(f"# N={params.n} L={level} t={t}")
 
 t0 = time.time()
 ctx = make_context(params)
 chest = dbfv.keygen(params, np.random.default_rng(0))
-auxp, aux_ctx, tabs = dbfv.make_bfv_mul_context(params, params.num_limbs)
+auxp, aux_ctx, tabs = dbfv.make_bfv_mul_context(params, level)
+ksc = dbfv._ckks_ksc(params, level)
+rlk = chest.device_rlk
 print(f"# setup {time.time() - t0:.1f}s  aux limbs={len(auxp.q_primes)}")
 
 m = np.random.default_rng(1).integers(0, t, size=params.n, dtype=np.int64)
 ct = dbfv.encrypt(gbfv.encode(m, params), params, chest.device_pk, ctx,
                   np.random.default_rng(2))
 
-# warm-up / compile + correctness: 3 squarings decrypt exactly
+# correctness: 3 eager squarings decrypt exactly
 t0 = time.time()
 out = ct
 want = m.copy()
@@ -46,23 +50,47 @@ for _ in range(3):
     want = want * want % t
 got = dbfv.decrypt_decode(out, params, chest.device_sk, ctx)
 assert (got == want).all(), "BFV N=2^16 chain decrypt mismatch"
-print(f"# compile+first+check {time.time() - t0:.1f}s")
+print(f"# eager compile+check {time.time() - t0:.1f}s")
 
-# timed chain (data-dependent squarings), read-synced
-iters = 20
-out = ct
-np.asarray(out.c[0][..., :4])
+
+@jax.jit
+def step_chain(a0, a1, b0, b1):
+    # bench.py pattern: one compiled body, CHAIN data-dependent iterations
+    # (barriers tie outputs into the carry: no DCE, no overlap)
+    def body(_, carry):
+        c0, c1, d0, d1 = carry
+        d = dbfv._bfv_tensor_core(
+            (c0, c1), (d0, d1), ctx, aux_ctx, tabs, params, auxp, level
+        )
+        r0, r1 = dct._relin_core(d, ctx, ksc, rlk, params, level)
+        c0 = jax.lax.optimization_barrier((c0, r0))[0]
+        c1 = jax.lax.optimization_barrier((c1, r1))[0]
+        return (c0, c1, d0, d1)
+
+    return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))
+
+
+a0, a1 = ct.c
 t0 = time.time()
-for _ in range(iters):
-    out = dbfv.ct_mul(out, out, params, ctx, chest.device_rlk)
-np.asarray(out.c[0][..., :4])  # read-sync
-dt = (time.time() - t0) / iters
+compiled = step_chain.lower(a0, a1, a0, a1).compile()
+print(f"# chain compile {time.time() - t0:.1f}s")
+t0 = time.time()
+res = compiled(a0, a1, a0, a1)
+jax.block_until_ready(res)
+_ = np.asarray(res[0][0, :4])  # pay the read-sync slice compile here
+print(f"# chain first {time.time() - t0:.1f}s")
+
+t0 = time.time()
+res = compiled(a0, a1, a0, a1)
+_ = np.asarray(res[0][0, :4])  # read-sync (bare block_until_ready lies)
+dt = (time.time() - t0) / CHAIN
 result = {
-    "metric": f"bfv_mult_relin_N{params.n}_L{params.num_limbs}",
+    "metric": f"bfv_mult_relin_N{params.n}_L{level}",
     "value": round(1.0 / dt, 3),
     "unit": "ops/s/chip",
     "ms_per_mult": round(dt * 1e3, 3),
     "aux_limbs": len(auxp.q_primes),
+    "chain": CHAIN,
 }
 print(json.dumps(result))
 with open("BFV_N16.json", "w") as f:

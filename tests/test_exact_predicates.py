@@ -85,3 +85,28 @@ def test_ct_equals_two_ciphertexts(ctxt):
     _, _, _, db = _encrypt_both(params, ctx, chest, vb, 7)
     eq = exact.ct_equals(d_be, da, db)
     assert (d_be.decrypt_decode(eq)[0] == (va == vb).astype(np.int64)).all()
+
+
+def test_ct_pow_const_on_bgv_levels_align():
+    """Review regression: BGV multiplies modswitch one level per hop, so
+    square-and-multiply operands diverge — ct_pow_const must ModSwitch-align
+    them (exact.py _level_align). x^5 has two set bits -> a mixed mul."""
+    from gpufhe_tpu.ciphertext import bgv as dbgv
+    from gpufhe_tpu.ciphertext.bgv_backend import BGVDeviceBackend
+
+    params = preset("bgv_ci")  # 6 levels: x^5 needs ~3
+    ctx = make_context(params)
+    chest = dbgv.keygen(params, np.random.default_rng(61))
+    be = BGVDeviceBackend(params, ctx, chest)
+    t = params.plain_modulus
+    v = np.random.default_rng(62).integers(0, t, size=params.slots, dtype=np.int64)
+    from gpufhe_tpu.golden import bgv as gbgv
+
+    raw = np.empty(params.n, dtype=np.int64)
+    raw[be.rings[0]] = v
+    raw[be.rings[1]] = v
+    ct = dbgv.encrypt(gbgv.encode(raw, params), params, chest.device_pk, ctx,
+                      np.random.default_rng(63))
+    out = exact.ct_pow_const(be, ct, 5)
+    want = pow(v.astype(object), 5) % t
+    assert (be.decrypt_decode(out)[0] == want.astype(np.int64)).all()
