@@ -195,6 +195,25 @@ def decrypt_decode(ct, params, sk):
     return decode(decrypt(ct, params, sk), params)
 
 
+def noise_budget_bits(ct: BGVCiphertext, params: CKKSParams, sk) -> float:
+    """log2(Q / (2*|m + t*e|_inf)) — bits of headroom before t*e wraps Q.
+
+    The BGV analogue of golden/bfv.py noise_budget_bits: decryption fails
+    once the centered inner product |m + t*e| reaches Q/2."""
+    primes = ct.primes(params)
+    s_ntt = gckks.ntt_limbs(gckks.small_to_rns(sk.s, primes), params, primes)
+    acc = ct.c[0]
+    s_pow = s_ntt
+    for comp in ct.c[1:]:
+        acc = gckks.poly_add(acc, gckks.poly_mul(comp, s_pow, primes), primes)
+        s_pow = gckks.poly_mul(s_pow, s_ntt, primes)
+    coeff = gckks.intt_limbs(acc, params, primes)
+    centered = gckks.crt_compose_centered(coeff, primes)
+    big_q = math.prod(primes)
+    worst = max(abs(int(x)) for x in centered)
+    return math.log2(big_q / (2 * worst)) if worst else float("inf")
+
+
 # ---------------------------------------------------------------------------
 # Homomorphic ops
 # ---------------------------------------------------------------------------

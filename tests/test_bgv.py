@@ -195,3 +195,20 @@ def test_bgv_backend_matvec_exact():
     s_d = d_be.add_plain(ct_d, d)
     _assert_equal(s_d, s_g)
     assert (d_be.decrypt_decode(s_d) == (v + d) % t).all()
+
+
+def test_bgv_noise_budget():
+    """noise_budget_bits decreases through the pipeline and stays positive
+    through a full mul (decryption still exact)."""
+    params = preset("bgv_tiny")
+    rng = np.random.default_rng(91)
+    sk, pk = gbgv.keygen(params, rng)
+    rlk = gbgv.make_relin_key(params, sk, rng)
+    t = params.plain_modulus
+    m = np.random.default_rng(92).integers(0, t, size=params.n, dtype=np.int64)
+    ct = gbgv.encrypt(gbgv.encode(m, params), params, pk, rng)
+    fresh = gbgv.noise_budget_bits(ct, params, sk)
+    prod = gbgv.ct_mul(ct, ct, params, rlk)
+    after = gbgv.noise_budget_bits(prod, params, sk)
+    assert fresh > after > 0, (fresh, after)
+    assert (gbgv.decrypt_decode(prod, params, sk) == m * m % t).all()
