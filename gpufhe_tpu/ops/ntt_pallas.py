@@ -24,6 +24,7 @@ fallback (ops/ntt.py dispatches).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -36,6 +37,24 @@ from gpufhe_tpu.ops.modops import add_mod, mont_mul
 import numpy as np
 
 _BYTE = np.uint32(0xFF)
+
+
+def _staged_kernel_trace():
+    """Neutralize jax.ensure_compile_time_eval() around Pallas kernel tracing.
+
+    FusedPipeline (ciphertext/backend.py) traces backend compositions under
+    ensure_compile_time_eval(), which is config.eager_constant_folding(True):
+    primitives with no tracer operands get EVALUATED instead of staged. The
+    Pallas kernel body contains `pl.program_id(0)` — zero operands, no eval
+    rule — so kernel tracing dies with NotImplementedError unless constant
+    folding is switched back off for the duration of the pallas_call
+    (tests/test_pipeline.py::test_fused_pipeline_pallas_trace)."""
+    try:
+        from jax._src import config as _cfg
+
+        return _cfg.eager_constant_folding(False)
+    except Exception:  # pragma: no cover - future jax refactor
+        return contextlib.nullcontext()
 
 
 def _sdigits(x: jnp.ndarray) -> list[jnp.ndarray]:
@@ -119,27 +138,28 @@ def fourstep_pallas(
     grid = (L,)
     vm = pltpu.VMEM
     sm = pltpu.SMEM
-    return pl.pallas_call(
-        _fourstep_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=sm),  # q (full [L], indexed by program_id)
-            pl.BlockSpec(memory_space=sm),  # qinv
-            pl.BlockSpec(memory_space=sm),  # digit_mont [L, 7]
-            pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),  # x
-            pl.BlockSpec((1, 4, a, a), lambda l: (l, 0, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),  # tw
-            pl.BlockSpec((1, 4, b, b), lambda l: (l, 0, 0, 0), memory_space=vm),
-        ],
-        out_specs=pl.BlockSpec((1, b, a), lambda l: (l, 0, 0), memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((L, b, a), jnp.uint32),
-        interpret=interpret,
-    )(
-        q,
-        qinv_neg,
-        digit_mont,
-        x,
-        wl_digits,
-        tw_mont,
-        wr_digits,
-    )
+    with _staged_kernel_trace():
+        return pl.pallas_call(
+            _fourstep_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=sm),  # q (full [L], indexed by program_id)
+                pl.BlockSpec(memory_space=sm),  # qinv
+                pl.BlockSpec(memory_space=sm),  # digit_mont [L, 7]
+                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),  # x
+                pl.BlockSpec((1, 4, a, a), lambda l: (l, 0, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),  # tw
+                pl.BlockSpec((1, 4, b, b), lambda l: (l, 0, 0, 0), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec((1, b, a), lambda l: (l, 0, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((L, b, a), jnp.uint32),
+            interpret=interpret,
+        )(
+            q,
+            qinv_neg,
+            digit_mont,
+            x,
+            wl_digits,
+            tw_mont,
+            wr_digits,
+        )

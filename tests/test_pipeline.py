@@ -182,3 +182,42 @@ def test_batched_mult_matches_per_ciphertext(stack):
         assert got.level == want.level
         for gc, wc in zip(got.c, want.c):
             assert (np.asarray(gc) == np.asarray(wc)).all()
+
+
+def test_fused_pipeline_pallas_trace(stack, monkeypatch):
+    """FusedPipeline traces under jax.ensure_compile_time_eval(); with the
+    Pallas NTT in the path (the TPU configuration), kernel tracing must not
+    fall into the eval trace (`program_id` has no eval rule). Regression for
+    the on-chip failure of scripts/verify_fused_pipeline.py: force the Pallas
+    interpret path on CPU and trace a mul+rescale composition."""
+    import functools
+
+    import jax
+
+    from gpufhe_tpu.ciphertext import backend as cbackend
+    from gpufhe_tpu.ops import ntt as nttmod
+    from gpufhe_tpu.ops import ntt_pallas as npal
+
+    params, ctx, chest = stack
+    monkeypatch.setattr(nttmod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        nttmod, "fourstep_pallas", functools.partial(npal.fourstep_pallas, interpret=True),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        npal, "fourstep_pallas", functools.partial(npal.fourstep_pallas, interpret=True)
+    )
+
+    be = cbackend.DeviceBackend(params, ctx, chest)
+    rng = np.random.default_rng(31)
+    z = _rand_slots(params, rng)
+    ct, _ = _encrypt_both(params, ctx, chest, z, seed=311)
+
+    fused = cbackend.FusedPipeline(be, lambda x: be.rescale(be.mul(x, x)))
+    out_f = fused(ct)
+    out_e = dct.ct_rescale(
+        dct.ct_mul(ct, ct, params, ctx, chest.device_rlk), params, ctx
+    )
+    assert out_f.level == out_e.level
+    for gc, wc in zip(out_f.c, out_e.c):
+        assert (np.asarray(gc) == np.asarray(wc)).all()
