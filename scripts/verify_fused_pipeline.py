@@ -35,7 +35,7 @@ ct = dct.encrypt(
 
 
 def fn(x):
-    y = be.rescale(be.mul(x, x))
+    y = be.mul(x, x)  # full mult: tensor + relin + rescale (backend contract)
     pt = be.encode_slots(0.5, y.scale, y.level)
     y = be.rescale(be.mul_plain(y, pt))
     return be.add_plain(y, 0.25)
