@@ -123,10 +123,17 @@ class FusedPipeline:
                     uniq.append(c)
                 index.append(i)
             idx = tuple(index)
+            # keep only the jaxpr + the deduped consts: closing over
+            # `closed` would pin every pre-dedup slice buffer (the 3396
+            # duplicates above) in HBM for the cache entry's lifetime — at
+            # N=2^16 that is GBs and OOMed the flagship bootstrap's fused
+            # EvalMod on a real chip
+            jaxpr = closed.jaxpr
+            del closed, seen
 
             def converted(flat, *ucs):
                 cs = [ucs[i] for i in idx]
-                return jax.core.eval_jaxpr(closed.jaxpr, cs, *flat)
+                return jax.core.eval_jaxpr(jaxpr, cs, *flat)
 
             ent = (jax.jit(converted), tuple(uniq), meta)
             self._cache[key] = ent

@@ -48,7 +48,24 @@ def key_rows(comp: jnp.ndarray, params: CKKSParams, level: int) -> jnp.ndarray:
     if stored_l == level:
         return comp
     idx = np.concatenate([np.arange(level), np.arange(stored_l, stored_l + alpha)])
-    return comp[idx]
+    # STAGE the gather even under jax.ensure_compile_time_eval()
+    # (FusedPipeline traces, ciphertext/backend.py): eager evaluation there
+    # materializes a fresh (level+alpha, N) buffer PER CALL — ~8.5 MB x
+    # 2 components x dnum per multiply at N=2^16, which pinned GBs of
+    # duplicate key slices into the traced program's consts and OOMed the
+    # flagship bootstrap's fused EvalMod on a real chip. Staged, the FULL
+    # key enters the jaxpr once (consts dedup by object id) and the row
+    # gather compiles into the program.
+    try:
+        from jax._src import config as _cfg
+
+        ctxmgr = _cfg.eager_constant_folding(False)
+    except Exception:  # pragma: no cover - future jax refactor
+        import contextlib
+
+        ctxmgr = contextlib.nullcontext()
+    with ctxmgr:
+        return comp[idx]
 
 
 def key_switch_core(

@@ -63,6 +63,14 @@ def main():
     print(f"# key truncation {time.time()-t0:.0f}s "
           f"(stc level {bs.f_stc.first_lo.level})", flush=True)
 
+    def hbm(tag):
+        # live-buffer accounting (metadata only — no device sync): the
+        # budget is tight enough at N=2^16 that the fused-EvalMod trace
+        # once OOMed; keep the per-phase footprint visible
+        gb = sum(a.nbytes for a in jax.live_arrays()) / 2**30
+        print(f"# live device bytes [{tag}]: {gb:.2f} GiB", flush=True)
+
+    hbm("after setup")
     rng = np.random.default_rng(0)
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
     ct = dct.encrypt(
@@ -71,6 +79,7 @@ def main():
     )
     t0 = time.time()
     out = bs(ct)
+    hbm("after first call")
     _ = np.asarray(out.c[0][0, :4])  # host read: hard sync through the tunnel
     first = time.time() - t0
     print(f"# compile+first {first:.0f}s", flush=True)

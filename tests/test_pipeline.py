@@ -221,3 +221,33 @@ def test_fused_pipeline_pallas_trace(stack, monkeypatch):
     assert out_f.level == out_e.level
     for gc, wc in zip(out_f.c, out_e.c):
         assert (np.asarray(gc) == np.asarray(wc)).all()
+
+
+def test_key_rows_staged_under_compile_time_eval():
+    """key_rows must STAGE its row gather inside a FusedPipeline-style trace
+    (ensure_compile_time_eval): eager evaluation materializes a fresh key
+    slice per multiply, which OOMed the N=2^16 fused EvalMod on chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.params.params import preset as _preset
+    from gpufhe_tpu.primitives.keyswitch import key_rows
+
+    params = _preset("tiny2")
+    alpha = len(params.p_primes)
+    stored = params.num_limbs + alpha
+    comp = jnp.arange(stored * 8, dtype=jnp.uint32).reshape(stored, 8)
+    seen = {}
+
+    def run(x):
+        with jax.ensure_compile_time_eval():
+            rows = key_rows(comp, params, 2)
+            seen["tracer"] = isinstance(rows, jax.core.Tracer)
+            return x + rows.sum()
+
+    jax.make_jaxpr(run)(jnp.uint32(0))
+    assert seen["tracer"], "key_rows gather was evaluated eagerly"
+    # and the values are still the right rows (eager path)
+    got = np.asarray(key_rows(comp, params, 2))
+    idx = np.concatenate([np.arange(2), np.arange(stored - alpha, stored)])
+    assert (got == np.asarray(comp)[idx]).all()
