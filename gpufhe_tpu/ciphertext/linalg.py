@@ -102,16 +102,21 @@ class BsgsPlan:
     def apply(self, ct):
         be = self.be
         assert be.level(ct) == self.level, (be.level(ct), self.level)
-        babies = list(range(1, self.g))
+        # hoist only the babies a nonzero diagonal actually uses: block-
+        # structured matrices (models/mlp.py, cnn.py, attention.py) keep
+        # O(block) of the slots diagonals, so this is the difference between
+        # O(block) and O(sqrt(slots)) rotations per product
+        babies = sorted({bi for (_, bi, _) in self.pt} - {0})
         rots = {0: ct}
         if babies:
             rots.update(be.rotate_hoisted(ct, babies))
         rots_c = None
         if self.has_conj:
+            babies_c = sorted({bi for (_, bi, c) in self.pt if c} - {0})
             ctc = be.conjugate(ct)
             rots_c = {0: ctc}
-            if babies:
-                rots_c.update(be.rotate_hoisted(ctc, babies))
+            if babies_c:
+                rots_c.update(be.rotate_hoisted(ctc, babies_c))
 
         out = None
         for gi in range(self.n_giant):
