@@ -164,3 +164,47 @@ class Session:
 
     def level(self, ct) -> int:
         return self.be.level(ct)
+
+    # -- ckks-only non-linear toolkit (compare.py / approx.py) ---------------
+    def _ckks_only(self, what: str):
+        assert self.scheme == "ckks", f"{what} is CKKS-only (approximate)"
+
+    def sign(self, ct, **kw):
+        """sign(x) for slots in [-1, 1] (composite minimax polynomials)."""
+        self._ckks_only("sign")
+        from gpufhe_tpu.ciphertext import compare
+
+        return compare.sign(self.be, ct, **kw)
+
+    def relu(self, ct, **kw):
+        self._ckks_only("relu")
+        from gpufhe_tpu.ciphertext import compare
+
+        return compare.relu(self.be, ct, **kw)
+
+    def inverse(self, ct, bound: float = 1.0, iters: int = 6, **kw):
+        """1/x for slots in (0, bound] (Goldschmidt)."""
+        self._ckks_only("inverse")
+        from gpufhe_tpu.ciphertext import approx
+
+        return approx.inverse(self.be, ct, bound=bound, iters=iters, **kw)
+
+    def sqrt(self, ct, bound: float = 1.0, iters: int = 6):
+        self._ckks_only("sqrt")
+        from gpufhe_tpu.ciphertext import approx
+
+        return approx.sqrt(self.be, ct, bound=bound, iters=iters)
+
+    def exp(self, ct, half_range: float = 1.0, **kw):
+        self._ckks_only("exp")
+        from gpufhe_tpu.ciphertext import approx
+
+        return approx.exp(self.be, ct, half_range=half_range, **kw)
+
+    def softmax(self, ct, **kw):
+        """softmax over all slots; needs the rotations from
+        approx.rotations_for_softmax(slots) in the key chest."""
+        self._ckks_only("softmax")
+        from gpufhe_tpu.ciphertext import approx
+
+        return approx.softmax(self.be, ct, **kw)

@@ -84,3 +84,17 @@ def test_rotate_composed_pow2_keys():
     ct = b.encrypt(v)
     out = linalg.rotate_composed(b.be, ct, 37)
     assert (b.decrypt(out)[0] == np.roll(v, -37)).all()
+
+
+def test_session_nonlinear_toolkit():
+    """Session exposes the CKKS approximation toolkit (approx.py)."""
+    s = Session.create("ci_deep")
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.2, 1.0, size=s.params.slots)
+    ct = s.encrypt(x)
+    inv = np.real(s.decrypt(s.inverse(ct, iters=5)))
+    assert (np.abs(inv - 1.0 / x) * x).max() < 5e-3
+    rt = np.real(s.decrypt(s.sqrt(s.encrypt(x), iters=6)))
+    assert np.abs(rt - np.sqrt(x)).max() < 5e-3
+    with pytest.raises(AssertionError):
+        Session.create("bfv_tiny", scheme="bfv").inverse(None)

@@ -1,0 +1,121 @@
+"""Function-approximation toolkit (ciphertext/approx.py) on the device
+backend, checked against the cleartext functions it approximates."""
+
+import numpy as np
+import pytest
+
+from gpufhe_tpu.ciphertext import approx
+from gpufhe_tpu.ciphertext import ct as dct
+from gpufhe_tpu.ciphertext.backend import DeviceBackend
+from gpufhe_tpu.encoding import encoder
+from gpufhe_tpu.keys import keys as dkeys
+from gpufhe_tpu.ops.context import make_context
+from gpufhe_tpu.params.params import preset
+
+
+@pytest.fixture(scope="module")
+def stack():
+    params = preset("ci_deep")
+    ctx = make_context(params)
+    chest = dkeys.keygen(params, np.random.default_rng(0))
+    be = DeviceBackend(params, ctx, chest)
+    return params, ctx, chest, be
+
+
+def _encrypt(params, chest, ctx, z, seed=2):
+    return dct.encrypt(
+        encoder.encode(np.asarray(z, dtype=np.complex128), params), params,
+        chest.device_pk, ctx, np.random.default_rng(seed), params.scale,
+    )
+
+
+def test_inverse(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.2, 1.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x)
+    got = np.real(be.decrypt_decode(approx.inverse(be, ct, iters=5)))
+    rel = np.abs(got - 1.0 / x) * x
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_inverse_bound_and_out_scale(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(2)
+    x = rng.uniform(1.0, 4.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=3)
+    got = np.real(
+        be.decrypt_decode(approx.inverse(be, ct, bound=4.0, iters=5,
+                                         out_scale=3.0))
+    )
+    rel = np.abs(got - 3.0 / x) * x / 3.0
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_sqrt(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.1, 1.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=5)
+    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, iters=6)))
+    assert np.abs(got - np.sqrt(x)).max() < 5e-3
+
+
+def test_sqrt_bound_fold(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(6)
+    x = rng.uniform(1.0, 9.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=7)
+    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, bound=9.0, iters=6)))
+    assert np.abs(got - np.sqrt(x)).max() < 2e-2
+
+
+def test_exp(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-2.0, 2.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=9)
+    got = np.real(be.decrypt_decode(approx.exp(be, ct, half_range=2.0)))
+    rel = np.abs(got - np.exp(x)) / np.exp(x)
+    assert rel.max() < 2e-3, rel.max()
+
+
+@pytest.fixture(scope="module")
+def softmax_stack():
+    params = preset("boot_ci_deep")
+    ctx = make_context(params)
+    rots = tuple(approx.rotations_for_softmax(params.slots))
+    chest = dkeys.keygen(params, np.random.default_rng(10), rotations=rots)
+    be = DeviceBackend(params, ctx, chest)
+    return params, ctx, chest, be
+
+
+def test_softmax(softmax_stack):
+    params, ctx, chest, be = softmax_stack
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1.0, 1.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=12)
+    got = np.real(
+        be.decrypt_decode(approx.softmax(be, ct, inv_iters=6, degree=7))
+    )
+    want = np.exp(x) / np.exp(x).sum()
+    assert np.abs(got - want).max() < 2e-3 * want.max(), (
+        np.abs(got - want).max(), want.max())
+
+
+def test_softmax_replicated(softmax_stack):
+    """m logits tiled slots/m times: replicated= fixes the output scale."""
+    params, ctx, chest, be = softmax_stack
+    m = 8
+    rng = np.random.default_rng(13)
+    base = rng.uniform(-1.0, 1.0, size=m)
+    x = np.tile(base, params.slots // m)
+    ct = _encrypt(params, chest, ctx, x, seed=14)
+    got = np.real(
+        be.decrypt_decode(
+            approx.softmax(be, ct, inv_iters=6, degree=7,
+                           replicated=params.slots // m)
+        )
+    )[:m]
+    want = np.exp(base) / np.exp(base).sum()
+    assert np.abs(got - want).max() < 2e-2 * want.max()
