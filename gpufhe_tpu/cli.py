@@ -273,6 +273,49 @@ def _cmd_demo_bgv(args):
     }))
 
 
+def _cmd_demo_attention(args):
+    """Encrypted single-query attention head (models/attention.py)."""
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.models.attention import (
+        EncryptedAttention, attention_reference, attention_rotations)
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    d, t = 8, 8
+    ctx = make_context(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0),
+        rotations=tuple(attention_rotations(params.slots, d)),
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.5, 0.5, size=(t, d))
+    wq, wk, wv, wo = (rng.uniform(-0.4, 0.4, size=(d, d)) for _ in range(4))
+    z = np.zeros(params.slots, dtype=np.complex128)
+    z[: t * d] = x.reshape(-1)
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(2), params.scale,
+    )
+    head = EncryptedAttention(be, wq, wk, wv, wo=wo, seq_len=t)
+    got = np.real(be.decrypt_decode(head(ct)))[:d]
+    want = attention_reference(x, wq, wk, wv, wo=wo)
+    print(json.dumps({
+        "demo": "encrypted_attention",
+        "preset": args.preset,
+        "seq_len": t,
+        "head_dim": d,
+        "encrypted_out": [round(float(v), 6) for v in got],
+        "cleartext_out": [round(float(v), 6) for v in want],
+        "max_abs_err": round(float(np.abs(got - want).max()), 6),
+    }))
+
+
 def _cmd_security(args):
     """HE-standard logQP budget report (utils/security.py)."""
     from gpufhe_tpu.params.params import preset
@@ -512,6 +555,13 @@ def main(argv=None):
     thp.add_argument("--preset", default="tiny2")
     thp.add_argument("--parties", type=int, default=3)
     thp.set_defaults(fn=_cmd_demo_threshold)
+
+    at = sub.add_parser(
+        "demo-attention",
+        help="encrypted single-query attention head (softmax under CKKS)",
+    )
+    at.add_argument("--preset", default="ci_attn")
+    at.set_defaults(fn=_cmd_demo_attention)
 
     sec = sub.add_parser(
         "security", help="HE-standard security report for a preset"

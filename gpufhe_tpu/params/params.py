@@ -359,6 +359,11 @@ def preset(name: str) -> CKKSParams:
         # deep-but-small chain for composite-polynomial circuits (sign/relu:
         # 4 levels per degree-7 composition step, compare.py)
         return _mk(n=2**10, n_q=16, n_p=4, scale_bits=28)
+    if name == "ci_attn":
+        # encrypted attention CI preset (models/attention.py): the full
+        # head costs ~21 levels (projections + exp + Goldschmidt softmax +
+        # value sum) at the default degree/iteration settings
+        return _mk(n=2**8, n_q=24, n_p=4, scale_bits=28)
     if name == "boot_mid":
         # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
         # big enough that the mesh programs shard real work, small enough for
