@@ -19,6 +19,11 @@ elementary functions encrypted ML needs beyond comparisons
   put the slot-sum in every slot, a Goldschmidt reciprocal of the sum, and
   one ct-ct multiply. The building block of encrypted attention
   (models/attention.py).
+* ``rsqrt`` — the sqrt coupled-Newton accumulator seeded at 1 instead of x:
+  the multiplier product converges to 1/sqrt(x) directly (no divide).
+* ``layer_norm`` — block-wise LayerNorm: rotate-add block means, centered
+  square for the variance, rsqrt, cleartext gamma/beta. The normalization
+  layer of the encrypted transformer block (models/transformer.py).
 
 All functions are backend-generic (device / golden / sharded backends,
 ciphertext/backend.py) and consume the published CKKS level budget noted on
@@ -108,6 +113,101 @@ def sqrt(be, ct, bound: float = 1.0, iters: int = 6):
             quarter = _affine(be, b, 0.25, -0.75)  # (b - 3)/4
             b = be.mul(be.mul(b, b), quarter)
     return a
+
+
+def rsqrt_levels(iters: int) -> int:
+    """Levels consumed by rsqrt() (including the bound normalization)."""
+    return 2 * iters
+
+
+def rsqrt(be, ct, bound: float = 1.0, iters: int = 6):
+    """1/sqrt(x) for slot values x in [lo, bound], lo not too small.
+
+    Same coupled Newton iteration as sqrt() — a_k = x * prod(1 - b_i/2)
+    converges to sqrt(x), so seeding the accumulator at 1 instead of x makes
+    the SAME multiplier product converge to sqrt(x)/x = 1/sqrt(x); the
+    1/sqrt(bound) un-normalize folds into the seed. Worst-corner error is
+    (1 - lo/bound)^(2^iters): iters=6 resolves lo/bound=0.1 to ~1e-3.
+    Levels: 2 per iteration (the b-chain and the accumulator interleave).
+    """
+    assert iters >= 1
+    y0 = 1.0 / float(np.sqrt(bound))
+    b = _affine(be, ct, 1.0 / bound, -1.0)      # b0 = x/bound - 1
+    y = _affine(be, b, -0.5 * y0, y0)           # y1 = y0 * (1 - b0/2)
+    for _ in range(iters - 1):
+        quarter = _affine(be, b, 0.25, -0.75)   # (b - 3)/4
+        b = be.mul(be.mul(b, b), quarter)
+        half = _affine(be, b, -0.5, 1.0)
+        y = be.mul(_align_to(be, y, half.scale, half.level), half)
+    return y
+
+
+def rotations_for_layernorm(slots: int, d: int) -> list[int]:
+    """Galois steps layer_norm() needs: intra-block sum + block fill trees."""
+    steps = set()
+    for j in range(int(np.log2(d))):
+        steps.add(1 << j)
+        steps.add(slots - (1 << j))
+    return sorted(steps)
+
+
+def _block_mean(be, ct, d: int, weight: float):
+    """weight * (block sum) replicated into every slot of its block.
+
+    Blocks are the contiguous d-slot groups of the attention packing
+    (models/attention.py): a log2(d) rotate-add tree puts each block's sum
+    at its start slot (interior slots hold cross-block wrap sums), a masked
+    plaintext multiply keeps the starts scaled by `weight`, and a reversed
+    tree of negative rotations fills each block from its start. 1 level.
+    """
+    slots = be.params.slots
+    s = ct
+    for j in range(int(np.log2(d))):
+        st = 1 << j
+        s = be.add(s, be.rotate_hoisted(s, [st])[st])
+    starts = np.zeros(slots, dtype=np.complex128)
+    starts[::d] = weight
+    pt = be.encode_slots(starts, be.params.scale, be.level(s))
+    s = be.rescale(be.mul_plain(s, pt))
+    for j in range(int(np.log2(d))):
+        st = slots - (1 << j)
+        s = be.add(s, be.rotate_hoisted(s, [st])[st])
+    return s
+
+
+def layer_norm_levels(iters: int, affine: bool = True) -> int:
+    """Levels consumed by layer_norm()."""
+    return rsqrt_levels(iters) + 4 + (1 if affine else 0)
+
+
+def layer_norm(be, ct, d: int, eps: float = 1e-2, gamma=None, beta=None,
+               var_bound: float = 1.0, iters: int = 5):
+    """LayerNorm over each contiguous d-slot block: gamma * (x - mean) /
+    sqrt(var + eps) + beta.
+
+    gamma/beta are cleartext length-d feature vectors (or None). `eps` also
+    floors the rsqrt input for all-constant blocks (unused zero blocks stay
+    bounded: centered ~ 0 there and the Newton accumulator is bounded by
+    construction). Accuracy needs var + eps in [lo, var_bound + eps] with
+    (1 - lo/(var_bound + eps))^(2^iters) small — budget iters like rsqrt.
+    Levels: 4 + 2*iters (+1 with gamma/beta).
+    """
+    mean = _block_mean(be, ct, d, 1.0 / d)
+    centered = be.sub(_align_to(be, ct, mean.scale, mean.level), mean)
+    var = _block_mean(be, be.mul(centered, centered), d, 1.0 / d)
+    var = be.add_plain(var, eps)
+    r = rsqrt(be, var, bound=var_bound + eps, iters=iters)
+    out = be.mul(_align_to(be, centered, r.scale, r.level), r)
+    if gamma is not None:
+        g = np.tile(np.asarray(gamma, dtype=np.complex128),
+                    be.params.slots // d)
+        pt = be.encode_slots(g, be.params.scale, be.level(out))
+        out = be.rescale(be.mul_plain(out, pt))
+    if beta is not None:
+        out = be.add_plain(
+            out, np.tile(np.asarray(beta, dtype=np.complex128),
+                         be.params.slots // d))
+    return out
 
 
 def exp_coeffs(half_range: float, degree: int = 15) -> np.ndarray:

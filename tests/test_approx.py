@@ -80,6 +80,61 @@ def test_exp(stack):
     assert rel.max() < 2e-3, rel.max()
 
 
+def test_rsqrt(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(20)
+    x = rng.uniform(0.15, 1.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=21)
+    got = np.real(be.decrypt_decode(approx.rsqrt(be, ct, iters=6)))
+    assert np.abs(got - 1.0 / np.sqrt(x)).max() < 5e-3
+
+
+def test_rsqrt_bound(stack):
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(22)
+    x = rng.uniform(1.0, 6.0, size=params.slots)
+    ct = _encrypt(params, chest, ctx, x, seed=23)
+    got = np.real(be.decrypt_decode(approx.rsqrt(be, ct, bound=6.0, iters=6)))
+    assert np.abs(got - 1.0 / np.sqrt(x)).max() < 5e-3
+
+
+@pytest.fixture(scope="module")
+def ln_stack():
+    params = preset("ci_attn")
+    ctx = make_context(params)
+    rots = tuple(approx.rotations_for_layernorm(params.slots, 8))
+    chest = dkeys.keygen(params, np.random.default_rng(30), rotations=rots)
+    be = DeviceBackend(params, ctx, chest)
+    return params, ctx, chest, be
+
+
+def layer_norm_reference(x: np.ndarray, d: int, eps: float,
+                         gamma=None, beta=None) -> np.ndarray:
+    blocks = x.reshape(-1, d)
+    mean = blocks.mean(axis=1, keepdims=True)
+    var = ((blocks - mean) ** 2).mean(axis=1, keepdims=True)
+    out = (blocks - mean) / np.sqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma
+    if beta is not None:
+        out = out + beta
+    return out.reshape(-1)
+
+
+def test_layer_norm(ln_stack):
+    params, ctx, chest, be = ln_stack
+    d = 8
+    rng = np.random.default_rng(31)
+    x = rng.uniform(-1.0, 1.0, size=params.slots)
+    gamma = rng.uniform(0.5, 1.5, size=d)
+    beta = rng.uniform(-0.3, 0.3, size=d)
+    ct = _encrypt(params, chest, ctx, x, seed=32)
+    got = np.real(be.decrypt_decode(approx.layer_norm(
+        be, ct, d, eps=5e-2, gamma=gamma, beta=beta, var_bound=1.0, iters=6)))
+    want = layer_norm_reference(x, d, 5e-2, gamma=gamma, beta=beta)
+    assert np.abs(got - want).max() < 2e-2, np.abs(got - want).max()
+
+
 @pytest.fixture(scope="module")
 def softmax_stack():
     params = preset("boot_ci_deep")
