@@ -116,7 +116,33 @@ class Bootstrapper:
                 ev = self._cheb
                 basis = FusedPipeline(be, ev._build_basis)
                 evalp = FusedPipeline(be, lambda t: ev._eval(ev.c, t))
-                self._cheb = lambda y: evalp(basis(y))
+
+                def _cheb_fused(y):
+                    # The fused trace's eagerly-evaluated consts need HBM
+                    # headroom the flagship chest (63 truncated Galois keys,
+                    # ~9 GiB at N=2^16 dw) may not leave on a 16 GB chip.
+                    # Fall back PERMANENTLY to the eager evaluator on
+                    # exhaustion — correctness is identical (the fusion
+                    # traces the same jitted cores), only dispatch overhead
+                    # differs (measured 0.81 s vs fused target at N=2^16).
+                    # The retry runs OUTSIDE the except block: the exception
+                    # traceback pins the aborted trace's device buffers, and
+                    # the eager path needs them collected first.
+                    fell_back = False
+                    try:
+                        return evalp(basis(y))
+                    except Exception as e:
+                        if "RESOURCE_EXHAUSTED" not in repr(e):
+                            raise
+                        self._cheb = ev
+                        fell_back = True
+                    assert fell_back
+                    import gc
+
+                    gc.collect()
+                    return ev(y)
+
+                self._cheb = _cheb_fused
             # plan the EvalMod output level with a data-free ghost run so the
             # StC plan exists up front (enables per-step Galois key
             # truncation before anything runs — galois_step_levels())

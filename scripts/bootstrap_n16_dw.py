@@ -49,8 +49,17 @@ def main():
     # encapsulation secret the overflow is a 32-step +-1/2 random walk
     # (sigma ~ 1.6), so 10 is ~6 sigma — tighter than the h=64-era 12, and
     # a shorter EvalMod Chebyshev ladder
+    # fuse_evalmod=False: the fused EvalMod trace needs HBM headroom the
+    # 63-key flagship chest does not leave on this 16 GB chip (measured:
+    # 10.7 GiB live before EvalMod; the trace RESOURCE_EXHAUSTs and the
+    # in-process eager retry inherits a fragmented allocator). The eager
+    # EvalMod is the configuration the 0.718 s / 8.5e-6 artifact was
+    # measured with. Set GPUFHE_FUSE_EVALMOD=1 to try the fusion (fits on
+    # chips with more HBM or smaller chests; auto-falls-back on OOM).
+    import os
+    fuse = os.environ.get("GPUFHE_FUSE_EVALMOD", "0") == "1"
     bs = Bootstrapper(be, transform="factored", radix_log=radix,
-                      evalmod="cheb", k_bound=10.0)
+                      evalmod="cheb", k_bound=10.0, fuse_evalmod=fuse)
     print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
 
     # shrink each Galois key to the level it is actually used at (bit-exact
@@ -63,12 +72,22 @@ def main():
     print(f"# key truncation {time.time()-t0:.0f}s "
           f"(stc level {bs.f_stc.first_lo.level})", flush=True)
 
-    def hbm(tag):
+    def hbm(tag, _top=6):
         # live-buffer accounting (metadata only — no device sync): the
         # budget is tight enough at N=2^16 that the fused-EvalMod trace
         # once OOMed; keep the per-phase footprint visible
-        gb = sum(a.nbytes for a in jax.live_arrays()) / 2**30
-        print(f"# live device bytes [{tag}]: {gb:.2f} GiB", flush=True)
+        import collections
+
+        arrs = jax.live_arrays()
+        gb = sum(a.nbytes for a in arrs) / 2**30
+        groups = collections.Counter()
+        for a in arrs:
+            groups[(a.shape, str(a.dtype))] += a.nbytes
+        top = ", ".join(
+            f"{b/2**30:.2f} {shape}x{dt}"
+            for (shape, dt), b in sorted(groups.items(), key=lambda kv: -kv[1])[:_top]
+        )
+        print(f"# live device bytes [{tag}]: {gb:.2f} GiB | {top}", flush=True)
 
     hbm("after setup")
     rng = np.random.default_rng(0)
@@ -78,7 +97,7 @@ def main():
         np.random.default_rng(1), params.scale, level=2,
     )
     t0 = time.time()
-    out = bs(ct)
+    out = bs(ct, _phase=lambda name, x: hbm(f"first:{name}"))
     hbm("after first call")
     _ = np.asarray(out.c[0][0, :4])  # host read: hard sync through the tunnel
     first = time.time() - t0
