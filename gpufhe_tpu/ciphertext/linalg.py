@@ -141,3 +141,118 @@ def matmul_plain(be, ct, a: np.ndarray, b: np.ndarray | None = None,
                  scale: float | None = None):
     """One-shot BSGS product (builds the plan at ct's level and applies it)."""
     return BsgsPlan(be, a, b, be.level(ct), scale).apply(ct)
+
+
+# -- encrypted x encrypted matrix multiplication (JKLS) ----------------------
+#
+# Jiang-Kim-Lauter-Song (CCS 2018) slot-packed matrix product:
+#     A @ B = sum_{k=0}^{d-1} phi^k(sigma(A)) (*) psi^k(tau(B))
+# with sigma(A)[i,j] = A[i, i+j], tau(B)[i,j] = B[i+j, j], phi^k a column
+# shift (two masked slot rotations), psi^k a row shift (one slot rotation
+# by d*k). O(d) rotations + d ct-ct multiplies, 3 levels deep — vs the
+# naive d^2 inner products. Both operands ENCRYPTED (BsgsPlan handles the
+# cleartext-weight case). Matrices are packed row-major in d^2 slots and
+# TILED slots/d^2 times so every slot rotation acts cyclically within each
+# tile (`pack_matrix`). The reference has no linear algebra of any kind
+# (SURVEY.md §2.4).
+
+
+def _perm_matrix(d: int, out_idx) -> np.ndarray:
+    """d^2 x d^2 permutation: out[p] = in[out_idx(i, j)] for p = i*d + j."""
+    n = d * d
+    u = np.zeros((n, n), dtype=np.complex128)
+    for i in range(d):
+        for j in range(d):
+            u[i * d + j, out_idx(i, j)] = 1.0
+    return u
+
+
+def _tile_blockdiag(u: np.ndarray, slots: int) -> np.ndarray:
+    """Tile a d^2 x d^2 block down the diagonal of a slots x slots matrix."""
+    n = u.shape[0]
+    m = np.zeros((slots, slots), dtype=np.complex128)
+    for t in range(slots // n):
+        m[t * n:(t + 1) * n, t * n:(t + 1) * n] = u
+    return m
+
+
+def pack_matrix(a: np.ndarray, slots: int) -> np.ndarray:
+    """Row-major d^2 packing of a (d, d) matrix, tiled to fill the slots."""
+    d = a.shape[0]
+    assert a.shape == (d, d) and slots % (d * d) == 0
+    return np.tile(np.asarray(a, dtype=np.complex128).reshape(-1),
+                   slots // (d * d))
+
+
+def ct_matmul_rotations(slots: int, d: int) -> list[int]:
+    """All Galois steps ct_matmul needs (sigma/tau BSGS babies + shifts)."""
+    steps = set(bsgs_rotations(slots))
+    for k in range(1, d):
+        steps.add(k)                    # phi^k right part
+        steps.add(slots - (d - k))      # phi^k wrap part (negative d-k)
+        steps.add(d * k)                # psi^k
+    return sorted(steps)
+
+
+class CtMatmulPlan:
+    """Precomputed sigma/tau BSGS plans + phi masks for d x d ct-ct products
+    at a fixed input level. Consumes 3 levels (sigma/tau, masks, multiply)."""
+
+    def __init__(self, be, d: int, level: int):
+        slots = be.params.slots
+        assert slots % (d * d) == 0, (slots, d)
+        self.be = be
+        self.d = d
+        self.level = level
+        sigma = _perm_matrix(d, lambda i, j: i * d + (i + j) % d)
+        tau = _perm_matrix(d, lambda i, j: ((i + j) % d) * d + j)
+        self.p_sigma = BsgsPlan(be, _tile_blockdiag(sigma, slots), None, level)
+        self.p_tau = BsgsPlan(be, _tile_blockdiag(tau, slots), None, level)
+        # phi^k masks on the packed layout: slot p takes rot_k when its
+        # column j = p mod d is < d - k, else rot_{k-d} (cyclic wrap).
+        # Encoded lazily at sigma's OUTPUT level (rescale width varies with
+        # scale_words); the backend const cache makes repeats free.
+        j = np.arange(slots) % d
+        self._hi = {k: (j < d - k).astype(np.complex128) for k in range(1, d)}
+
+    def __call__(self, ct_a, ct_b):
+        be, d = self.be, self.d
+        slots = be.params.slots
+        from gpufhe_tpu.ciphertext.polyeval import _align_to
+
+        a0 = self.p_sigma.apply(ct_a)
+        b0 = self.p_tau.apply(ct_b)
+
+        # one hoisted fan each for ALL shifts of a0 and b0
+        a_steps = sorted({s for k in range(1, d)
+                          for s in (k, slots - (d - k))})
+        b_steps = [d * k for k in range(1, d)]
+        rot_a = be.rotate_hoisted(a0, a_steps) if a_steps else {}
+        rot_b = be.rotate_hoisted(b0, b_steps) if b_steps else {}
+
+        acc = None
+        lvl0 = be.level(a0)
+        ones = be.encode_slots(np.ones(slots, dtype=np.complex128),
+                               be.params.scale, lvl0)
+        for k in range(d):
+            if k == 0:
+                ak = be.rescale(be.mul_plain(a0, ones))
+            else:
+                hi = be.encode_slots(self._hi[k], be.params.scale, lvl0)
+                lo = be.encode_slots(1.0 - self._hi[k], be.params.scale, lvl0)
+                ak = be.rescale(be.add(
+                    be.mul_plain(rot_a[k], hi),
+                    be.mul_plain(rot_a[slots - (d - k)], lo),
+                ))
+            bk = b0 if k == 0 else rot_b[d * k]
+            term = be.mul(_align_to(be, bk, ak.scale, ak.level), ak)
+            acc = term if acc is None else be.add(acc, term)
+        return acc
+
+
+def ct_matmul(be, ct_a, ct_b, d: int):
+    """One-shot encrypted (d, d) @ (d, d) product (plan built at the cts'
+    level). Inputs packed with pack_matrix; output in the same layout."""
+    lvl = min(be.level(ct_a), be.level(ct_b))
+    return CtMatmulPlan(be, d, lvl)(
+        be.drop_to_level(ct_a, lvl), be.drop_to_level(ct_b, lvl))

@@ -316,6 +316,48 @@ def _cmd_demo_attention(args):
     }))
 
 
+def _cmd_demo_matmul(args):
+    """Encrypted x encrypted matrix product (linalg.py CtMatmulPlan, JKLS)."""
+    from gpufhe_tpu.ciphertext import ct as dct
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.linalg import (
+        ct_matmul, ct_matmul_rotations, pack_matrix)
+    from gpufhe_tpu.encoding import encoder
+    from gpufhe_tpu.keys import keys as dkeys
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.params.params import preset
+
+    params = preset(args.preset)
+    d = args.dim
+    ctx = make_context(params)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0),
+        rotations=tuple(ct_matmul_rotations(params.slots, d)),
+    )
+    be = DeviceBackend(params, ctx, chest)
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-0.5, 0.5, size=(d, d))
+    b = rng.uniform(-0.5, 0.5, size=(d, d))
+
+    def enc(m, seed):
+        return dct.encrypt(
+            encoder.encode(pack_matrix(m, params.slots), params), params,
+            chest.device_pk, ctx, np.random.default_rng(seed), params.scale,
+        )
+
+    out = ct_matmul(be, enc(a, 2), enc(b, 3), d)
+    got = np.real(be.decrypt_decode(out))[: d * d].reshape(d, d)
+    want = a @ b
+    print(json.dumps({
+        "demo": "encrypted_ct_matmul",
+        "preset": args.preset,
+        "dim": d,
+        "max_abs_err": round(float(np.abs(got - want).max()), 6),
+        "levels_used": int(be.level(enc(a, 2)) - be.level(out)),
+    }))
+
+
 def _cmd_security(args):
     """HE-standard logQP budget report (utils/security.py)."""
     from gpufhe_tpu.params.params import preset
@@ -562,6 +604,14 @@ def main(argv=None):
     )
     at.add_argument("--preset", default="ci_attn")
     at.set_defaults(fn=_cmd_demo_attention)
+
+    mm = sub.add_parser(
+        "demo-matmul",
+        help="encrypted x encrypted matrix product (JKLS, 3 levels)",
+    )
+    mm.add_argument("--preset", default="ci_attn")
+    mm.add_argument("--dim", type=int, default=8)
+    mm.set_defaults(fn=_cmd_demo_matmul)
 
     sec = sub.add_parser(
         "security", help="HE-standard security report for a preset"
