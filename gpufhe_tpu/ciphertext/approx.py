@@ -40,10 +40,20 @@ from gpufhe_tpu.ciphertext.polyeval import ChebyshevEvaluator, _align_to
 
 
 def _scale_const(be, ct, k: float):
-    """k * x via one plaintext multiply + rescale (1 level)."""
+    """k * x via one plaintext multiply + rescale (1 level).
+
+    The constant is encoded at Delta * q_dropped / ct.scale rather than at
+    Delta, so the OUTPUT scale is exactly Delta: iterative circuits
+    (Goldschmidt, coupled Newton) square their operands every iteration,
+    which DOUBLES any accumulated scale excess (the float-inf failure mode
+    of composed layer_norms) — anchoring every affine kills the compounding
+    at no cost (same machinery as polyeval._align_to)."""
+    from gpufhe_tpu.ciphertext.polyeval import _rescale_prod
+
+    s_x = be.params.scale * _rescale_prod(be, be.level(ct)) / ct.scale
     pt = be.encode_slots(
         np.full(be.params.slots, k, dtype=np.complex128),
-        be.params.scale, be.level(ct),
+        s_x, be.level(ct),
     )
     return be.rescale(be.mul_plain(ct, pt))
 

@@ -364,6 +364,22 @@ def preset(name: str) -> CKKSParams:
         # head costs ~21 levels (projections + exp + Goldschmidt softmax +
         # value sum) at the default degree/iteration settings
         return _mk(n=2**8, n_q=24, n_p=4, scale_bits=28)
+    if name == "ci_xf":
+        # encrypted transformer block CI preset (models/transformer.py):
+        # attention head (~21 levels) + two block LayerNorms (~15 each at
+        # ln_iters=5) + the square-activation FFN (3). The chain's ~30
+        # sequential ct-ct squarings DOUBLE accumulated scale drift each
+        # time (d' = 2d - e), so a one-sided 28-bit chain overflows the
+        # float scale around level 20 — draw the balanced both-sided chain
+        # (gen_balanced_ntt_primes), mandatory for ANY deep circuit
+        n = 2**8
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 1)
+        pp = gen_ntt_primes(30, two_n, 6, skip=1)
+        qi = gen_balanced_ntt_primes(28, two_n, 59, exclude=tuple(q0 + pp))
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp), scale_bits=28,
+        )
     if name == "boot_mid":
         # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
         # big enough that the mesh programs shard real work, small enough for
