@@ -38,20 +38,41 @@ import numpy as np
 
 
 def _traffic_estimate(params, level, hbm_bw):
-    """Analytic HBM traffic model for one fused mult (see module doc)."""
+    """Analytic HBM traffic model for one fused mult (see module doc).
+
+    Recalibrated after two committed traffic reductions made the previous
+    model an overestimate (measured mults beat its "speed of light"):
+    (a) the n1 x n1 / n2 x n2 four-step digit matrices are shared across the
+    whole limb batch of a pallas_call — counted once per transform STAGE,
+    not once per limb-transform; (b) relin key rows are gathered INSIDE the
+    program (ct.py staged gather), so the MAC reads the key once with no
+    materialized row copies. Per-limb traffic kept: x in + out + the
+    per-limb twiddle column for every limb-transform; explicit tensor /
+    key-MAC / mod-down+rescale elementwise passes."""
     from gpufhe_tpu.ops.context import fourstep_split
 
     n1, n2 = fourstep_split(params.n)
     alpha, dnum, k = params.alpha, params.dnum, level
     w = params.scale_words
     limb_bytes = params.n * 4
-    # limb-transforms per mult (iNTT d2, dnum modup NTTs, 2 iNTT + 2 NTT in
-    # mod-down, rescale's 2x(iNTT K + NTT K-w) chained over w words)
-    n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * k + 2 * (k - w)
-    # per limb-transform: x in + out + (wl + wr digits + tw) tables
-    tf_traffic = n_limb_tf * (2 * limb_bytes + 4 * n1 * n1 + 4 * n2 * n2 + limb_bytes)
-    # elementwise passes (tensor 3x, MAC 2*dnum, mod-down/rescale ~8) r+w
-    ew_traffic = (3 + 2 * dnum + 8) * 3 * k * limb_bytes
+    # limb-transforms per mult (iNTT d2, dnum modup NTTs, 2 iNTT of the MAC
+    # accumulators; the key-switch pair stays in coeff domain — d0/d1 are
+    # iNTT'd (2k) and added there, the old NTT+iNTT round trip cancelled —
+    # then 2 NTT back at k-w after the chained rescales)
+    n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * (k - w)
+    # per limb-transform: x in + out + per-limb twiddle column; the digit
+    # matrices once per distinct stage (6 stage kinds in the fused mult)
+    tf_traffic = (n_limb_tf * 3 * limb_bytes
+                  + 6 * (4 * n1 * n1 + 4 * n2 * n2))
+    # elementwise: tensor reads 4 input limb-planes + writes 3 outputs;
+    # key MAC reads dnum digit sets + the 2-component key, writes the
+    # 2-component accumulator (all at k+alpha limbs); mod-down + chained
+    # rescales ~8 r+w passes over k limbs
+    ew_traffic = (
+        7 * k * limb_bytes
+        + (3 * dnum + 2) * (k + alpha) * limb_bytes
+        + 8 * k * limb_bytes
+    )
     total = tf_traffic + ew_traffic
     return total, total / hbm_bw
 
@@ -119,13 +140,19 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     _ = np.asarray(out[0][0, :4])
     print(f"# [{preset_name}] first {time.time() - t0:.1f}s", flush=True)
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = compiled(*out)
-    # host read: hard sync even if block_until_ready returns early through
-    # the axon tunnel (scripts/bootstrap_n16_probe.py measured that)
-    _ = np.asarray(out[0][0, :4])
-    dt = (time.time() - t0) / (iters * chain)
+    # best-of-3 timed passes: host load (other processes sharing the tunnel
+    # dispatch path) inflates single passes by up to ~20%; the min is the
+    # least-interference estimate of the chip's own latency
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = compiled(*out)
+        # host read: hard sync even if block_until_ready returns early
+        # through the axon tunnel (scripts/bootstrap_n16_probe.py measured)
+        _ = np.asarray(out[0][0, :4])
+        dts.append((time.time() - t0) / (iters * chain))
+    dt = min(dts)
     ops_per_s = 1.0 / dt
 
     est_bytes, sol_s = _traffic_estimate(params, level, hbm_bw)

@@ -251,14 +251,18 @@ def _mul_full_core(ca, cb, ctx, kscs, rlk, params):
     d0 = mul_mod(a0, b0, q, qinv, r2)
     d1 = add_mod(mul_mod(a0, b1, q, qinv, r2), mul_mod(a1, b0, q, qinv, r2), q)
     d2 = mul_mod(a1, b1, q, qinv, r2)
-    ks0, ks1 = key_switch_core(d2, params, level, ctx, kscs[0], rlk)
-    c0 = add_mod(d0, ks0, q)
-    c1 = add_mod(d1, ks1, q)
+    # coefficient-domain key-switch output: d_i + NTT(ks_i) would be iNTT'd
+    # right back for the rescale chain — add iNTT(d_i) + ks_i instead, which
+    # is limb-bit-exact by modular linearity and saves a 2k-limb-transform
+    # round trip per mult (measured ~10% of mult traffic at L=30/48)
+    ks0, ks1 = key_switch_core(
+        d2, params, level, ctx, kscs[0], rlk, eval_out=False
+    )
     from gpufhe_tpu.primitives.rns import rescale as rescale_coeff
 
     out = []
-    for comp in (c0, c1):
-        cc = ntt_inv(comp, ctx, limbs=list(range(level)))
+    for d, ks in ((d0, ks0), (d1, ks1)):
+        cc = add_mod(ntt_inv(d, ctx, limbs=list(range(level))), ks, q)
         lvl = level
         for w in range(params.scale_words):
             cc = rescale_coeff(cc, params, lvl, ctx, kscs[w])

@@ -75,11 +75,17 @@ def key_switch_core(
     ctx: Context,
     ksc: KSContext,
     ksk: DeviceKSKey,
+    eval_out: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Switch one NTT-domain poly u32[K, N] to the target key's secret.
 
     Returns (ks0, ks1) u32[K, N] NTT domain, bit-exact vs golden
-    key_switch_core.
+    key_switch_core. With eval_out=False the final per-component NTT is
+    skipped and the pair is returned in COEFFICIENT domain — callers that
+    immediately iNTT the sum (the fused mult's rescale chain) instead add
+    in coefficient domain, cancelling a full NTT+iNTT round trip per
+    component exactly (modular linearity: iNTT(d + NTT(ks)) == iNTT(d) + ks
+    mod q, limb-bit-exact).
     """
     k = level
     qp_idx = qp_indices(params, level)
@@ -105,5 +111,5 @@ def key_switch_core(
     for acc in (acc0, acc1):
         coeff = ntt_inv(acc, ctx, limbs=qp_idx)
         down = mod_down(coeff, params, level, ctx, ksc)
-        out.append(ntt_fwd(down, ctx, limbs=q_idx))
+        out.append(ntt_fwd(down, ctx, limbs=q_idx) if eval_out else down)
     return out[0], out[1]
