@@ -3,9 +3,21 @@
 Prints one JSON line per headline metric; the LAST line is the primary
 N=2^16 L=30 mult headline (the BASELINE.json config-5 scale).
 
-Latency is measured on a chain of data-dependent mult steps inside one jit
-(optimization_barrier between steps), so inter-op pipelining cannot hide
-real latency and per-call dispatch overhead is amortized away.
+Latency is measured on a chain of GENUINELY data-dependent mult steps inside
+one jit: each iteration's operands are built from the previous iteration's
+OUTPUT (concatenation back to the full level), so XLA cannot skip, overlap,
+or hoist any step, and the empty-loop floor (dispatch + read-sync overhead,
+measured with an identical carry) is subtracted.
+
+METHODOLOGY WARNING (round-3 correction): the round-1/2 version of this file
+chained iterations with `optimization_barrier((carry, result))[0]`. That does
+NOT create a data dependency — XLA dead-code-eliminates the unused tuple
+element, and the measured "mult" chain was byte-identical in wall time to an
+EMPTY loop (scripts/chain_truth.py, 24.6 ms/pass both ways). Every mult
+headline in BENCH_r01/BENCH_r02 therefore measured pure dispatch+read
+overhead, not the op; the true fused mult is ~5x slower than reported there.
+The numbers printed by THIS version are real: a genuine chain measures
+6.48 ms/iter where the barrier chain measured 0.385 ms/iter.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
 achieved fraction of an HBM speed-of-light estimate for the op: every
@@ -112,47 +124,64 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
           f"L={level} alpha={params.alpha} dnum={params.dnum} "
           f"scale_words={params.scale_words}", flush=True)
 
+    import jax.numpy as jnp
+
+    w = params.scale_words
+
     @jax.jit
     def step_chain(a0, a1, b0, b1):
-        # fori_loop: one compiled production-mult body (_mul_full_core:
-        # tensor + relin + scale_words chained rescales), `chain`
-        # data-dependent iterations (barriers tie both outputs into the
-        # carry so nothing is DCE'd and iteration i+1 cannot start before i)
+        # one compiled production-mult body (_mul_full_core: tensor + relin
+        # + scale_words chained rescales); iteration i+1 multiplies
+        # iteration i's OUTPUT (padded back to level with rows of the old
+        # operand — stale but valid residues, shape-stable carry) by the old
+        # operand, so every step is genuinely data-dependent and neither
+        # operand is loop-invariant (nothing can be DCE'd or hoisted).
         def body(_, carry):
             a0, a1, b0, b1 = carry
             r0, r1 = _mul_full_core((a0, a1), (b0, b1), ctx, kscs, rlk, params)
-            a0 = jax.lax.optimization_barrier((a0, r0))[0]
-            a1 = jax.lax.optimization_barrier((a1, r1))[0]
-            return (a0, a1, b0, b1)
+            n0 = jnp.concatenate([r0, a0[level - w:]])
+            n1 = jnp.concatenate([r1, a1[level - w:]])
+            return (n0, n1, a0, a1)
 
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
-    t0 = time.time()
-    lowered = step_chain.lower(a0, a1, b0, b1)
-    compiled = lowered.compile()
-    print(f"# [{preset_name}] compile {time.time() - t0:.1f}s", flush=True)
-    t0 = time.time()
-    out = compiled(a0, a1, b0, b1)
-    jax.block_until_ready(out)
-    # warmup the read-sync too: the tiny slice below jit-compiles its own
-    # program through the tunnel the first time (~0.4 s) — pay that here,
-    # NOT inside the timed section (it inflated ms/mult 15x when timed)
-    _ = np.asarray(out[0][0, :4])
-    print(f"# [{preset_name}] first {time.time() - t0:.1f}s", flush=True)
+    @jax.jit
+    def floor_chain(a0, a1, b0, b1):
+        # dispatch + read-sync + loop-carry floor: same carry, empty body
+        def body(_, carry):
+            return carry
 
-    # best-of-3 timed passes: host load (other processes sharing the tunnel
-    # dispatch path) inflates single passes by up to ~20%; the min is the
-    # least-interference estimate of the chip's own latency
-    dts = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            out = compiled(*out)
-        # host read: hard sync even if block_until_ready returns early
-        # through the axon tunnel (scripts/bootstrap_n16_probe.py measured)
+        return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
+
+    def timed(compiled, first_args):
+        out = compiled(*first_args)
+        jax.block_until_ready(out)
+        # warmup the read-sync too: the tiny slice below jit-compiles its
+        # own program through the tunnel the first time (~0.4 s) — pay that
+        # here, NOT inside the timed section
         _ = np.asarray(out[0][0, :4])
-        dts.append((time.time() - t0) / (iters * chain))
-    dt = min(dts)
+        # best-of-N timed passes: host load (other processes sharing the
+        # tunnel dispatch path) inflates single passes by up to ~20%; the
+        # min is the least-interference estimate of the chip's own latency
+        dts = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = compiled(*out)
+            # host read: hard sync even if block_until_ready returns early
+            # through the axon tunnel (bootstrap_n16_probe.py measured)
+            _ = np.asarray(out[0][0, :4])
+            dts.append(time.time() - t0)
+        return min(dts)
+
+    t0 = time.time()
+    compiled = step_chain.lower(a0, a1, b0, b1).compile()
+    floor_c = floor_chain.lower(a0, a1, b0, b1).compile()
+    print(f"# [{preset_name}] compile {time.time() - t0:.1f}s", flush=True)
+    t_floor = timed(floor_c, (a0, a1, b0, b1))
+    t_pass = timed(compiled, (a0, a1, b0, b1))
+    dt = (t_pass - t_floor) / chain
+    print(f"# [{preset_name}] pass {t_pass * 1e3:.2f} ms - floor "
+          f"{t_floor * 1e3:.2f} ms over chain={chain}", flush=True)
     ops_per_s = 1.0 / dt
 
     est_bytes, sol_s = _traffic_estimate(params, level, hbm_bw)
@@ -211,8 +240,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     preset_name = os.environ.get("BENCH_PRESET", "config5_boot")
-    chain = int(os.environ.get("BENCH_CHAIN", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    chain = int(os.environ.get("BENCH_CHAIN", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     hbm_bw = float(os.environ.get("PEAK_HBM_GBPS", 819e9))
 
     # flagship bootstrap artifact (produced on this chip by

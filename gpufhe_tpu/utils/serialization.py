@@ -32,8 +32,14 @@ def params_from_dict(d: dict) -> CKKSParams:
     return CKKSParams(**d)
 
 
-def save_keychest(path, chest) -> None:
-    """Persist params + golden key material (device mirrors are re-uploaded)."""
+def save_keychest(path, chest, scheme: str = "ckks") -> None:
+    """Persist params + golden key material (device mirrors are re-uploaded).
+
+    Scheme-aware: handles the CKKS KeyChest (incl. conjugation key and the
+    sparse-secret encapsulation pair) and the BGV/BFV chests."""
+    assert chest.sk is not None, (
+        "chest holds no secret key (threshold session?) — nothing to persist"
+    )
     path = pathlib.Path(path)
     arrays = {
         "sk_s": chest.sk.s,
@@ -45,23 +51,36 @@ def save_keychest(path, chest) -> None:
     for steps, (gk, _) in chest.galois.items():
         arrays[f"gk{steps}_b"] = gk.b
         arrays[f"gk{steps}_a"] = gk.a
-    if chest.conj is not None:
-        arrays["conj_b"] = chest.conj[0].b
-        arrays["conj_a"] = chest.conj[0].a
+    conj = getattr(chest, "conj", None)
+    if conj is not None:
+        arrays["conj_b"] = conj[0].b
+        arrays["conj_a"] = conj[0].a
+    eph = getattr(chest, "eph", None)
+    if eph is not None:
+        arrays["eph_s"] = eph["s_eph"]
+        arrays["to_eph_b"], arrays["to_eph_a"] = eph["to_eph"][0].b, eph["to_eph"][0].a
+        arrays["from_eph_b"] = eph["from_eph"][0].b
+        arrays["from_eph_a"] = eph["from_eph"][0].a
     meta = {
         "params": params_to_dict(chest.params),
         "rotations": sorted(chest.galois.keys()),
-        "has_conj": chest.conj is not None,
+        "has_conj": conj is not None,
+        "has_eph": eph is not None,
+        "scheme": scheme,
     }
     np.savez_compressed(path, __meta__=np.bytes_(json.dumps(meta).encode()), **arrays)
 
 
-def load_keychest(path):
-    """Restore a KeyChest (rebuilds device mirrors from the golden arrays)."""
+def load_keychest(path, with_scheme: bool = False):
+    """Restore a key chest (rebuilds device mirrors from the golden arrays).
+
+    Returns the scheme-appropriate chest class; with_scheme=True returns
+    (scheme, chest). Files written before the scheme field load as ckks."""
     from gpufhe_tpu.keys import keys as dkeys
 
     z = np.load(pathlib.Path(path))
     meta = json.loads(bytes(z["__meta__"]).decode())
+    scheme = meta.get("scheme", "ckks")
     params = params_from_dict(meta["params"])
     sk = gckks.SecretKey(s=z["sk_s"])
     pk = gckks.PublicKey(b=z["pk_b"], a=z["pk_a"])
@@ -70,11 +89,7 @@ def load_keychest(path):
     for steps in meta["rotations"]:
         gk = gckks.KSKey(b=z[f"gk{steps}_b"], a=z[f"gk{steps}_a"])
         galois[steps] = (gk, dkeys.upload_ks_key(gk, params))
-    conj = None
-    if meta["has_conj"]:
-        ck = gckks.KSKey(b=z["conj_b"], a=z["conj_a"])
-        conj = (ck, dkeys.upload_ks_key(ck, params))
-    return dkeys.KeyChest(
+    common = dict(
         params=params,
         sk=sk,
         pk=pk,
@@ -83,8 +98,31 @@ def load_keychest(path):
         device_pk=dkeys.upload_public_key(pk, params),
         device_rlk=dkeys.upload_ks_key(rlk, params),
         galois=galois,
-        conj=conj,
     )
+    if scheme == "bgv":
+        from gpufhe_tpu.ciphertext.bgv import BGVKeyChest
+
+        chest = BGVKeyChest(**common)
+    elif scheme == "bfv":
+        from gpufhe_tpu.ciphertext.bfv import BFVKeyChest
+
+        chest = BFVKeyChest(**common)
+    else:
+        conj = None
+        if meta["has_conj"]:
+            ck = gckks.KSKey(b=z["conj_b"], a=z["conj_a"])
+            conj = (ck, dkeys.upload_ks_key(ck, params))
+        eph = None
+        if meta.get("has_eph"):
+            to_eph = gckks.KSKey(b=z["to_eph_b"], a=z["to_eph_a"])
+            from_eph = gckks.KSKey(b=z["from_eph_b"], a=z["from_eph_a"])
+            eph = {
+                "s_eph": z["eph_s"],
+                "to_eph": (to_eph, dkeys.upload_ks_key(to_eph, params)),
+                "from_eph": (from_eph, dkeys.upload_ks_key(from_eph, params)),
+            }
+        chest = dkeys.KeyChest(conj=conj, eph=eph, **common)
+    return (scheme, chest) if with_scheme else chest
 
 
 def save_device_keychest(path, chest, seeded: bool = True) -> None:

@@ -1,11 +1,14 @@
 """Production-scale BFV multiply timing on the real TPU: N=2^16, L=30.
 
 The integer-scheme counterpart of bench.py's CKKS headline, using the SAME
-methodology: a fori_loop chain of data-dependent multiplies inside ONE
-compiled program (optimization_barrier ties iterations), then a read-synced
-wall-clock — per-dispatch tunnel overhead (~1.5 ms and output-size-
-dependent, CLAUDE.md) never enters the timed section. Correctness is
-asserted separately by decrypting a short eager chain (exact mod t).
+(round-3 corrected) methodology: a fori_loop chain of GENUINELY
+data-dependent multiplies inside ONE compiled program — each iteration
+multiplies the previous iteration's output (BFV mult keeps the level, so
+outputs feed back directly) — minus the measured empty-loop floor, then a
+read-synced wall-clock. The earlier optimization_barrier tie did NOT
+serialize (XLA DCE'd the body; scripts/chain_truth.py) — the first BFV_N16
+artifact measured dispatch overhead only. Correctness is asserted separately
+by decrypting a short eager chain (exact mod t).
 
 Writes BFV_N16.json.
 """
@@ -55,35 +58,52 @@ print(f"# eager compile+check {time.time() - t0:.1f}s")
 
 @jax.jit
 def step_chain(a0, a1, b0, b1):
-    # bench.py pattern: one compiled body, CHAIN data-dependent iterations
-    # (barriers tie outputs into the carry: no DCE, no overlap)
+    # one compiled body, CHAIN genuinely data-dependent iterations: the BFV
+    # mult is scale-invariant (output at the same level), so iteration i+1
+    # multiplies iteration i's OUTPUT by iteration i's first operand —
+    # both operands vary, nothing can be DCE'd or hoisted
     def body(_, carry):
         c0, c1, d0, d1 = carry
         d = dbfv._bfv_tensor_core(
             (c0, c1), (d0, d1), ctx, aux_ctx, tabs, params, auxp, level
         )
         r0, r1 = dct._relin_core(d, ctx, ksc, rlk, params, level)
-        c0 = jax.lax.optimization_barrier((c0, r0))[0]
-        c1 = jax.lax.optimization_barrier((c1, r1))[0]
-        return (c0, c1, d0, d1)
+        return (r0, r1, c0, c1)
 
     return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))
+
+
+@jax.jit
+def floor_chain(a0, a1, b0, b1):
+    def body(_, carry):
+        return carry
+
+    return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))
+
+
+def timed(compiled, args):
+    res = compiled(*args)
+    jax.block_until_ready(res)
+    _ = np.asarray(res[0][0, :4])  # pay the read-sync slice compile here
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        res = compiled(*res)
+        _ = np.asarray(res[0][0, :4])  # read-sync (block_until_ready lies)
+        dts.append(time.time() - t0)
+    return min(dts)
 
 
 a0, a1 = ct.c
 t0 = time.time()
 compiled = step_chain.lower(a0, a1, a0, a1).compile()
+floor_c = floor_chain.lower(a0, a1, a0, a1).compile()
 print(f"# chain compile {time.time() - t0:.1f}s")
-t0 = time.time()
-res = compiled(a0, a1, a0, a1)
-jax.block_until_ready(res)
-_ = np.asarray(res[0][0, :4])  # pay the read-sync slice compile here
-print(f"# chain first {time.time() - t0:.1f}s")
-
-t0 = time.time()
-res = compiled(a0, a1, a0, a1)
-_ = np.asarray(res[0][0, :4])  # read-sync (bare block_until_ready lies)
-dt = (time.time() - t0) / CHAIN
+t_floor = timed(floor_c, (a0, a1, a0, a1))
+t_pass = timed(compiled, (a0, a1, a0, a1))
+print(f"# pass {t_pass * 1e3:.2f} ms - floor {t_floor * 1e3:.2f} ms "
+      f"over chain={CHAIN}")
+dt = (t_pass - t_floor) / CHAIN
 result = {
     "metric": f"bfv_mult_relin_N{params.n}_L{level}",
     "value": round(1.0 / dt, 3),

@@ -98,3 +98,124 @@ def test_session_nonlinear_toolkit():
     assert np.abs(rt - np.sqrt(x)).max() < 5e-3
     with pytest.raises(AssertionError):
         Session.create("bfv_tiny", scheme="bfv").inverse(None)
+
+
+@pytest.mark.slow
+def test_session_bootstrap():
+    """`Session.create(..., bootstrap=True)` wires keys + Bootstrapper so a
+    user refreshes levels with one call (VERDICT r2 item 7)."""
+    s = Session.create("boot_ci", bootstrap=True)
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=s.params.slots)
+         + 1j * rng.normal(size=s.params.slots)) * 0.2
+    ct = s.encrypt(z, level=1)
+    out = s.bootstrap(ct)
+    assert s.level(out) >= 2
+    assert np.abs(s.decrypt(out) - z).max() < 0.02
+    # a session without the bootstrap keys refuses with a clear error
+    with pytest.raises(AssertionError):
+        Session.create("boot_ci").bootstrap(ct)
+
+
+@pytest.mark.parametrize("scheme", ["ckks", "bgv", "bfv"])
+def test_session_save_load(tmp_path, scheme):
+    """Session.save/load round-trips params + keys (+ conj) per scheme; a
+    ciphertext written by the old session decrypts in the restored one."""
+    name = {"ckks": "tiny2", "bgv": "bgv_tiny", "bfv": "bfv_tiny"}[scheme]
+    s = Session.create(name, scheme=scheme, rotations=(1,),
+                       conjugation=(scheme == "ckks"))
+    rng = np.random.default_rng(3)
+    if scheme == "ckks":
+        v = rng.uniform(-1, 1, size=s.params.slots)
+    else:
+        v = rng.integers(0, s.params.plain_modulus, size=s.params.slots,
+                         dtype=np.int64)
+    ct = s.encrypt(v)
+    s.save_ct(tmp_path / "ct.npz", ct)
+    s.save(tmp_path / "sess.npz")
+
+    r = Session.load(tmp_path / "sess.npz")
+    assert r.scheme == scheme and r.params == s.params
+    ct2 = r.load_ct(tmp_path / "ct.npz")
+    got = r.decrypt(r.mul(ct2, ct2))
+    if scheme == "ckks":
+        assert np.abs(got - v * v).max() < 1e-3
+    else:
+        assert (got[0] == v * v % s.params.plain_modulus).all()
+    # rotation keys survived too
+    got_rot = r.decrypt(r.rotate(ct2, 1))
+    if scheme == "ckks":
+        assert np.abs(got_rot - np.roll(v, -1)).max() < 1e-4
+    else:
+        assert (got_rot[0] == np.roll(v, -1)).all()
+
+
+@pytest.mark.parametrize("scheme", ["ckks", "bfv"])
+def test_threshold_session(scheme):
+    """ThresholdSession: full homomorphism under joint keys, decryption only
+    via all-party partials (VERDICT r2 item 7)."""
+    from gpufhe_tpu.api import ThresholdSession
+
+    name = "tiny2" if scheme == "ckks" else "bfv_tiny"
+    ts = ThresholdSession.create_threshold(name, n_parties=3, scheme=scheme,
+                                           rotations=(1,))
+    rng = np.random.default_rng(5)
+    if scheme == "ckks":
+        v = rng.uniform(-0.5, 0.5, size=ts.params.slots)
+    else:
+        v = rng.integers(0, ts.params.plain_modulus, size=ts.params.slots,
+                         dtype=np.int64)
+    ct = ts.encrypt(v)
+    out = ts.rotate(ts.mul(ct, ct), 1)  # collaborative rlk + galois key
+    with pytest.raises(RuntimeError):
+        ts.decrypt(out)
+    partials = [ts.partial_decrypt(out, i, np.random.default_rng(20 + i))
+                for i in range(3)]
+    got = ts.combine(out, partials)
+    if scheme == "ckks":
+        want = np.roll(v * v, -1)
+        assert np.abs(got - want).max() < 1e-2
+    else:
+        want = np.roll(v * v % ts.params.plain_modulus, -1)
+        assert (got[0] == want).all()
+    # any strict subset of partials yields garbage
+    bad = ts.combine(out, partials[:-1])
+    if scheme == "ckks":
+        assert np.abs(bad - want).max() > 1.0
+    else:
+        assert not (bad[0] == want).all()
+
+
+@pytest.mark.parametrize("scheme", ["bgv", "bfv"])
+def test_noise_budget_monotone(scheme):
+    """s.noise_budget decreases monotonically along a squaring chain and
+    decryption is correct exactly while the budget stays positive
+    (VERDICT r2 item 9)."""
+    name = "bgv_tiny" if scheme == "bgv" else "bfv_tiny"
+    s = Session.create(name, scheme=scheme)
+    t = s.params.plain_modulus
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, t, size=s.params.slots, dtype=np.int64)
+    ct = s.encrypt(v)
+    want = v.copy()
+    budgets = [s.noise_budget(ct)]
+    assert budgets[0] > 10  # fresh ciphertext has real headroom
+    steps = s.params.num_limbs - 1 if scheme == "bgv" else 6
+    saw_failure = False
+    for _ in range(steps):
+        ct = s.mul(ct, ct)
+        want = want * want % t
+        b = s.noise_budget(ct)
+        assert b < budgets[-1], "budget must decrease after a mult"
+        budgets.append(b)
+        ok = (s.decrypt(ct)[0] == want).all()
+        if b > 2:
+            assert ok, f"decryption failed with {b:.1f} bits of budget left"
+        if b < -1:
+            assert not ok, "budget exhausted but decryption still correct"
+        if not ok:
+            saw_failure = True
+            break
+    if scheme == "bfv":
+        # level is kept, so the chain can always be run to exhaustion
+        assert saw_failure or budgets[-1] <= 2
