@@ -63,11 +63,23 @@ class NTTTables(NamedTuple):
     The transform computes, per limb, with X viewed as an (a, b) matrix:
         C = (WL @ X) * TW  @ WR        (all mod q)
     followed by a transpose-reshape back to a length-n vector.
-    """
+
+    Two table families: the `*_digits` + `tw_mont` triple drives the jnp/XLA
+    formulation (ops/ntt.py); the `*_cat` + Shoup + offset-correction fields
+    drive the fused Pallas kernel (ops/ntt_pallas.py), which computes each
+    digit stage as ONE stacked MXU matmul and reduces taps with Shoup
+    constant-multiplies on offset (carry-free) runtime digits."""
 
     wl_digits: jnp.ndarray  # int8[L, 4, a, a] (signed-digit recoding)
     tw_mont: jnp.ndarray  # uint32[L, a, b]   twiddles, Montgomery form
     wr_digits: jnp.ndarray  # int8[L, 4, b, b]
+    # --- Pallas-kernel family (same W content, kernel-friendly layout) ---
+    wl_cat: jnp.ndarray  # int8[L, 4a, a]  W digit planes stacked over rows
+    wr_cat: jnp.ndarray  # int8[L, b, 4b]  W digit planes stacked over cols
+    tw: jnp.ndarray  # uint32[L, a, b]  twiddles, canonical
+    tw_shoup: jnp.ndarray  # uint32[L, a, b]  floor(tw * 2^32 / q)
+    corr_l: jnp.ndarray  # uint32[L, 7, a]  stage-1 offset-digit correction + q
+    corr_r: jnp.ndarray  # uint32[L, 7, b]  stage-2 correction + q
 
 
 class Context(NamedTuple):
@@ -77,6 +89,8 @@ class Context(NamedTuple):
     qinv_neg: jnp.ndarray  # uint32[L_total]   -q^-1 mod 2^32
     r2: jnp.ndarray  # uint32[L_total]   2^64 mod q
     digit_mont: jnp.ndarray  # uint32[L_total, 7]  (2^(8t) * 2^32) mod q, t = 0..6
+    digit_plain: jnp.ndarray  # uint32[L_total, 7]  2^(8t) mod q (Shoup operand)
+    digit_shoup: jnp.ndarray  # uint32[L_total, 7]  floor(2^(8t) mod q * 2^32 / q)
     ntt_fwd: NTTTables
     ntt_inv: NTTTables
 
@@ -102,6 +116,36 @@ def _to_mont_np(x: np.ndarray, q: int) -> np.ndarray:
     return (np.asarray(x, dtype=np.uint64) * np.uint64(R % q) % np.uint64(q)).astype(
         np.uint32
     )
+
+
+def _shoup_np(w: np.ndarray, q: int) -> np.ndarray:
+    """Shoup companion constants floor(w * 2^32 / q) for canonical w < q."""
+    return ((np.asarray(w, dtype=np.uint64) << np.uint64(32)) // np.uint64(q)).astype(
+        np.uint32
+    )
+
+
+def _offset_corr(w_digits: np.ndarray, axis: int, q: int) -> np.ndarray:
+    """Per-tap correction for OFFSET runtime digits, plus q (uint32[7, m]).
+
+    The Pallas kernel extracts runtime digits as d'_t = ((x >> 8t) & 0xFF) -
+    128 (one xor + bitcast, no carry chain), so each digit matrix is
+    X_t = d'_t + 128 * ones and every digit-pair product picks up a rank-one
+    term 128 * (row|col)sum(W_e). corr[t] = 128 * sum_{e+d=t} sum(W_e, axis)
+    + q: adding it to the raw tap (i32, |tap| <= 16.8M) yields the exact
+    nonnegative representative (< q + 33.6M < 2^31) of the true tap value
+    mod q — it replaces the old "+ q" bias at zero extra cost. axis=1 sums
+    rows (stage 1, W on the left); axis=0 sums columns (stage 2, W right)."""
+    assert q > (1 << 26), "offset-digit correction sized for 27+-bit primes"
+    sums = w_digits.astype(np.int64).sum(axis=1 + axis)  # [4, m]
+    out = np.zeros((7, sums.shape[1]), dtype=np.int64)
+    for t in range(7):
+        for e in range(4):
+            if 0 <= t - e < 4:
+                out[t] += sums[e]
+    out = out * 128 + q
+    assert (out >= 0).all() and (out + (1 << 25) < (1 << 32)).all()
+    return out.astype(np.uint32)
 
 
 def _limb_tables(q: int, psi: int, n: int):
@@ -154,36 +198,60 @@ def make_context(params: CKKSParams) -> Context:
     n = params.n
 
     qs, qinvs, r2s, digit_monts = [], [], [], []
-    fwd_wl, fwd_tw, fwd_wr = [], [], []
-    inv_wl, inv_tw, inv_wr = [], [], []
+    digit_plains, digit_shoups = [], []
+    fwd, inv = {}, {}
+    for acc in (fwd, inv):
+        for k in ("wl", "tw", "wr", "wl_cat", "wr_cat", "tw_sh", "cl", "cr"):
+            acc[k] = []
     for q, psi in zip(primes, psis):
         qinv_neg, r2 = mont_constants(q)
         qs.append(q)
         qinvs.append(qinv_neg)
         r2s.append(r2)
         digit_monts.append([(1 << (8 * t)) * R % q for t in range(7)])
-        (wl, tw, wr), (wli, twi, wri) = _limb_tables(q, psi, n)
-        fwd_wl.append(_digits_i8(wl))
-        fwd_tw.append(_to_mont_np(tw, q))
-        fwd_wr.append(_digits_i8(wr))
-        inv_wl.append(_digits_i8(wli))
-        inv_tw.append(_to_mont_np(twi, q))
-        inv_wr.append(_digits_i8(wri))
+        dp = [(1 << (8 * t)) % q for t in range(7)]
+        digit_plains.append(dp)
+        digit_shoups.append([(d << 32) // q for d in dp])
+        tabs = _limb_tables(q, psi, n)
+        for acc, (wl, tw, wr) in zip((fwd, inv), tabs):
+            wld, wrd = _digits_i8(wl), _digits_i8(wr)
+            acc["wl"].append(wld)
+            acc["tw"].append(tw)
+            acc["wr"].append(wrd)
+            # Pallas family: digit planes stacked for the one-dot-per-stage
+            # form (wl over rows: [4a, a]; wr over columns: [b, 4b])
+            acc["wl_cat"].append(wld.reshape(-1, wld.shape[-1]))
+            acc["wr_cat"].append(
+                np.transpose(wrd, (1, 0, 2)).reshape(wrd.shape[1], -1)
+            )
+            acc["tw_sh"].append(_shoup_np(tw, q))
+            acc["cl"].append(_offset_corr(wld, 1, q))
+            acc["cr"].append(_offset_corr(wrd, 0, q))
 
     u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
+
+    def tables(acc):
+        return NTTTables(
+            wl_digits=jnp.asarray(np.stack(acc["wl"])),
+            tw_mont=u32(np.stack(
+                [_to_mont_np(tw, q) for tw, q in zip(acc["tw"], qs)]
+            )),
+            wr_digits=jnp.asarray(np.stack(acc["wr"])),
+            wl_cat=jnp.asarray(np.stack(acc["wl_cat"])),
+            wr_cat=jnp.asarray(np.stack(acc["wr_cat"])),
+            tw=u32(np.stack(acc["tw"])),
+            tw_shoup=u32(np.stack(acc["tw_sh"])),
+            corr_l=u32(np.stack(acc["cl"])),
+            corr_r=u32(np.stack(acc["cr"])),
+        )
+
     return Context(
         q=u32(qs),
         qinv_neg=u32(qinvs),
         r2=u32(r2s),
         digit_mont=u32(digit_monts),
-        ntt_fwd=NTTTables(
-            wl_digits=jnp.asarray(np.stack(fwd_wl)),
-            tw_mont=u32(np.stack(fwd_tw)),
-            wr_digits=jnp.asarray(np.stack(fwd_wr)),
-        ),
-        ntt_inv=NTTTables(
-            wl_digits=jnp.asarray(np.stack(inv_wl)),
-            tw_mont=u32(np.stack(inv_tw)),
-            wr_digits=jnp.asarray(np.stack(inv_wr)),
-        ),
+        digit_plain=u32(digit_plains),
+        digit_shoup=u32(digit_shoups),
+        ntt_fwd=tables(fwd),
+        ntt_inv=tables(inv),
     )

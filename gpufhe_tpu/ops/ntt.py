@@ -124,7 +124,8 @@ def _recombine(s: jnp.ndarray, digit_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndar
     return acc
 
 
-def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont):
+def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont,
+              digit_plain=None, digit_shoup=None):
     """Shared four-step core: (WL @ X) * TW @ WR, then transpose.
 
     x_mat: uint32[L, a, b] canonical residues. Returns uint32[L, b, a].
@@ -132,16 +133,31 @@ def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont):
     with this path); the jnp formulation runs everywhere else.
     """
     if _use_pallas():
-        from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas
+        if os.environ.get("GPUFHE_NTT_V1") == "1":  # A/B: the round-2 kernel
+            from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas
 
-        return fourstep_pallas(
+            return fourstep_pallas(
+                x_mat,
+                tables.wl_digits,
+                tables.tw_mont,
+                tables.wr_digits,
+                q[:, 0, 0],
+                qinv_neg[:, 0, 0],
+                digit_mont,
+            )
+        from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v2
+
+        return fourstep_pallas_v2(
             x_mat,
-            tables.wl_digits,
-            tables.tw_mont,
-            tables.wr_digits,
+            tables.wl_cat,
+            tables.tw,
+            tables.tw_shoup,
+            tables.wr_cat,
+            tables.corr_l,
+            tables.corr_r,
             q[:, 0, 0],
-            qinv_neg[:, 0, 0],
-            digit_mont,
+            digit_plain,
+            digit_shoup,
         )
     s1 = _digit_dot_left(tables.wl_digits, _to_digits(x_mat))
     a_mat = _recombine(s1, digit_mont, q, qinv_neg)
@@ -164,12 +180,13 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     q = ctx.q[limbs][:, None, None]
     qinv = ctx.qinv_neg[limbs][:, None, None]
     dm = ctx.digit_mont[limbs]
+    dp, ds = ctx.digit_plain[limbs], ctx.digit_shoup[limbs]
     tables = NTTTables(*(t[limbs] for t in ctx.ntt_fwd))
     if lead:
         flat = x_mat.reshape(-1, L, n1, n2)
-        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm))(flat)
+        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)
         return out.reshape(*lead, L, n)
-    return _fourstep(x_mat, tables, q, qinv, dm).reshape(L, n)
+    return _fourstep(x_mat, tables, q, qinv, dm, dp, ds).reshape(L, n)
 
 
 def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
@@ -181,9 +198,10 @@ def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     q = ctx.q[limbs][:, None, None]
     qinv = ctx.qinv_neg[limbs][:, None, None]
     dm = ctx.digit_mont[limbs]
+    dp, ds = ctx.digit_plain[limbs], ctx.digit_shoup[limbs]
     tables = NTTTables(*(t[limbs] for t in ctx.ntt_inv))
     if lead:
         flat = x_mat.reshape(-1, L, n2, n1)
-        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm))(flat)
+        out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)
         return out.reshape(*lead, L, n)
-    return _fourstep(x_mat, tables, q, qinv, dm).reshape(L, n)
+    return _fourstep(x_mat, tables, q, qinv, dm, dp, ds).reshape(L, n)

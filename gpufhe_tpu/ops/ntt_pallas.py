@@ -117,6 +117,151 @@ def _fourstep_kernel(q_ref, qinv_ref, dm_ref, x_ref, wl_ref, tw_ref, wr_ref, o_r
     o_ref[0] = c_mat.T  # natural-order output block [b, a]
 
 
+def _shoup(a, w, w_sh, q):
+    """a * w mod q in [0, 2q) for ANY uint32 a and canonical w < q (Shoup).
+
+    quot = floor(a * w_sh / 2^32) with w_sh = floor(w * 2^32 / q) under-
+    estimates floor(a*w/q) by at most 1 (error < a/2^32 < 1), so
+    r = a*w - quot*q lands in [0, 2q); the uint32 wraparound of both
+    products is exact because the true r fits in 32 bits. 19 VPU ops vs
+    Montgomery's ~35 — the recombine's scalar taps and the twiddle are the
+    kernel's hottest elementwise work."""
+    from gpufhe_tpu.ops.modops import mulhi32
+
+    quot = mulhi32(a, w_sh)
+    return a * w - quot * q
+
+
+def _lazy_sub(s, two_q):
+    return jnp.where(s >= two_q, s - two_q, s)
+
+
+def _offset_digits_cat(x, axis: int):
+    """u32[a, b] -> i8 offset digits, concatenated along `axis`.
+
+    d_t = ((x >> 8t) & 0xFF) - 128: carry-free (3 VPU ops/plane, no serial
+    chain) and exact for ANY uint32 — the +128 offsets are repaid by the
+    host-precomputed corr tables (ops/context.py _offset_corr). This is what
+    legalizes the lazy [0, 2q) intermediates from _shoup."""
+    planes = [
+        (((x >> np.uint32(8 * t)) & _BYTE).astype(jnp.int32) - 128).astype(jnp.int8)
+        for t in range(4)
+    ]
+    return jnp.concatenate(planes, axis=axis)
+
+
+def _recombine_taps(taps, corr, dmp, dms, q, col: bool):
+    """sum_t taps[t] * 2^(8t) mod q from i32 tap accumulators, in [0, 2q).
+
+    corr[t] (+q folded in) makes each tap the nonnegative exact
+    representative; Shoup scalar mults + lazy conditional subtracts keep
+    everything in uint32."""
+    two_q = q + q
+    s = None
+    for t in range(7):
+        u = taps[t].astype(jnp.uint32) + (corr[t][None, :] if col else corr[t][:, None])
+        c = _shoup(u, dmp[t], dms[t], q)
+        s = c if s is None else _lazy_sub(s + c, two_q)
+    return s
+
+
+def _fourstep_kernel_v2(
+    q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref, twsh_ref, wr_ref,
+    cl_ref, cr_ref, o_ref,
+):
+    l = pl.program_id(0)
+    q = q_ref[l]
+    dmp = [dmp_ref[l, t] for t in range(7)]
+    dms = [dms_ref[l, t] for t in range(7)]
+    x = x_ref[0]  # u32[a, b]
+    a = x.shape[0]
+    b = x.shape[1]
+
+    # stage 1: A = WL @ X mod q. One i8 digit dot per W-plane against the
+    # column-concatenated X digits (a, 4b) — 4 MXU calls of shape
+    # (a, a) @ (a, 4b) instead of v1's 16 of (a, a) @ (a, b).
+    xcat = _offset_digits_cat(x, axis=1)
+    taps = [None] * 7
+    for e in range(4):
+        s_e = jax.lax.dot_general(
+            wl_ref[0, e * a:(e + 1) * a, :], xcat,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        for d in range(4):
+            t = e + d
+            blk = s_e[:, d * b:(d + 1) * b]
+            taps[t] = blk if taps[t] is None else taps[t] + blk
+    cl = [cl_ref[0, t] for t in range(7)]
+    a_mat = _recombine_taps(taps, cl, dmp, dms, q, col=False)  # [0, 2q)
+
+    # twiddle (elementwise Shoup; [0, 2q) input is fine for offset digits)
+    b_mat = _shoup(a_mat, tw_ref[0], twsh_ref[0], q)
+
+    # stage 2: C = B @ WR mod q, digit planes contracted against the
+    # column-concatenated WR (b, 4b)
+    taps2 = [None] * 7
+    for d in range(4):
+        bd = (((b_mat >> np.uint32(8 * d)) & _BYTE).astype(jnp.int32) - 128).astype(
+            jnp.int8
+        )
+        s_d = jax.lax.dot_general(
+            bd, wr_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for e in range(4):
+            t = e + d
+            blk = s_d[:, e * b:(e + 1) * b]
+            taps2[t] = blk if taps2[t] is None else taps2[t] + blk
+    cr = [cr_ref[0, t] for t in range(7)]
+    c_mat = _recombine_taps(taps2, cr, dmp, dms, q, col=True)
+    c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)  # canonical [0, q)
+    o_ref[0] = c_mat.T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fourstep_pallas_v2(
+    x: jnp.ndarray,
+    wl_cat: jnp.ndarray,
+    tw: jnp.ndarray,
+    tw_shoup: jnp.ndarray,
+    wr_cat: jnp.ndarray,
+    corr_l: jnp.ndarray,
+    corr_r: jnp.ndarray,
+    q: jnp.ndarray,
+    digit_plain: jnp.ndarray,
+    digit_shoup: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused four-step core v2: one stacked digit dot per W plane, offset
+    (carry-free) runtime digits, Shoup tap/twiddle reduction with lazy
+    [0, 2q) intermediates. Bit-exact with ops/ntt.py's jnp formulation
+    (canonical output; tests/test_ops.py)."""
+    L, a, b = x.shape
+    vm = pltpu.VMEM
+    sm = pltpu.SMEM
+    with _staged_kernel_trace():
+        return pl.pallas_call(
+            _fourstep_kernel_v2,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec(memory_space=sm),  # q [L]
+                pl.BlockSpec(memory_space=sm),  # digit_plain [L, 7]
+                pl.BlockSpec(memory_space=sm),  # digit_shoup [L, 7]
+                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, 4 * a, a), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, b, 4 * b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, 7, a), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((1, 7, b), lambda l: (l, 0, 0), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec((1, b, a), lambda l: (l, 0, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((L, b, a), jnp.uint32),
+            interpret=interpret,
+        )(q, digit_plain, digit_shoup, x, wl_cat, tw, tw_shoup, wr_cat,
+          corr_l, corr_r)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fourstep_pallas(
     x: jnp.ndarray,

@@ -1,0 +1,106 @@
+"""A/B the fused Pallas NTT kernels on the real chip (genuine chain).
+
+Chains ntt_fwd on its own output (same shape, arbitrary u32 is safe) inside
+one jit, subtracts the empty-loop floor, and reports per-limb-transform time
+for whichever kernel GPUFHE_NTT_V1 selects. Also asserts bit-exactness vs
+golden on the chip before timing.
+
+Env: PRESET (config5_boot), CHAIN (32), LIMBS (level; default full q-chain).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gpufhe_tpu.golden import ntt as gn
+from gpufhe_tpu.ops.ntt import ntt_fwd
+from gpufhe_tpu.params.params import make_context, preset
+
+assert jax.devices()[0].platform == "tpu", jax.devices()
+
+PRESET = os.environ.get("PRESET", "config5_boot")
+CHAIN = int(os.environ.get("CHAIN", "32"))
+params = preset(PRESET)
+ctx = make_context(params)
+k = int(os.environ.get("LIMBS", str(params.num_limbs)))
+limbs = list(range(k))
+n = params.n
+rng = np.random.default_rng(0)
+x = jnp.asarray(np.stack([
+    rng.integers(0, q, size=n, dtype=np.int64).astype(np.uint32)
+    for q in params.q_primes[:k]
+]))
+kern = "v1" if os.environ.get("GPUFHE_NTT_V1") == "1" else "v2"
+print(f"# {PRESET}: N={n} limbs={k} chain={CHAIN} kernel={kern}", flush=True)
+
+# bit-exactness on chip first
+f = jax.jit(lambda v: ntt_fwd(v, ctx, limbs=limbs))
+got = np.asarray(f(x))
+want = np.stack([
+    gn.ntt_fwd(np.asarray(x[i], dtype=np.int64), params.q_primes[i],
+               params.psi[i])
+    for i in range(k)
+]).astype(np.uint32)
+assert (got == want).all(), "NTT kernel mismatch vs golden on chip"
+print("# bit-exact vs golden on chip", flush=True)
+
+
+@jax.jit
+def chain(v):
+    def body(_, v):
+        return ntt_fwd(v, ctx, limbs=limbs)  # output feeds input: genuine
+
+    return jax.lax.fori_loop(0, CHAIN, body, v)
+
+
+@jax.jit
+def floor_chain(v):
+    def body(_, v):
+        return v
+
+    return jax.lax.fori_loop(0, CHAIN, body, v)
+
+
+def timed(prog):
+    t0 = time.time()
+    compiled = prog.lower(x).compile()
+    tc = time.time() - t0
+    out = compiled(x)
+    jax.block_until_ready(out)
+    _ = np.asarray(out.reshape(-1)[:4])
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = compiled(out)
+        _ = np.asarray(out.reshape(-1)[:4])
+        dts.append(time.time() - t0)
+    return min(dts), tc
+
+
+t_floor, _ = timed(floor_chain)
+t_pass, tc = timed(chain)
+dt = (t_pass - t_floor) / CHAIN
+per_limb = dt / k
+planes = 5 if kern == "v1" else 6  # x + wl + tw(+tw_sh) + wr + out
+bw = planes * n * 4 / per_limb
+print(f"# pass {t_pass * 1e3:.2f} ms - floor {t_floor * 1e3:.2f} ms "
+      f"(compile {tc:.1f}s)", flush=True)
+print(f"# {kern}: {dt * 1e3:.3f} ms / {k}-limb transform = "
+      f"{per_limb * 1e6:.2f} us/limb-transform; streamed-traffic BW "
+      f"{bw / 1e9:.0f} GB/s vs 819 peak", flush=True)

@@ -170,3 +170,36 @@ def test_pallas_kernel_matches_xla_path():
         )
     ).reshape(L, n)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("direction", ["fwd", "inv"])
+def test_pallas_v2_kernel_matches_xla_path(direction):
+    """Fused Pallas four-step v2 (stacked dots + offset digits + Shoup
+    recombine; interpret mode on CPU) vs the jnp path, both directions."""
+    from gpufhe_tpu.ops.context import fourstep_split
+    from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v2
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    primes = params.q_primes + params.p_primes
+    L, n = len(primes), params.n
+    n1, n2 = fourstep_split(n)
+    x = np.stack([RNG.integers(0, q, size=n, dtype=np.int64) for q in primes])
+
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+
+    if direction == "fwd":
+        want = np.asarray(ntt_fwd(_u32(x), ctx))
+        t = ctx.ntt_fwd
+        xm = _u32(x).reshape(L, n1, n2)
+    else:
+        want = np.asarray(ntt_inv(_u32(x), ctx))
+        t = ctx.ntt_inv
+        xm = _u32(x).reshape(L, n2, n1)
+    got = np.asarray(
+        fourstep_pallas_v2(
+            xm, t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l, t.corr_r,
+            ctx.q, ctx.digit_plain, ctx.digit_shoup, interpret=True,
+        )
+    ).reshape(L, n)
+    assert (got == want).all()
