@@ -272,12 +272,15 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
     b_aux = [to_aux_ntt(comp) for comp in cb]
 
     def tensor(x, y, qq, qqinv, rr2):
-        d0 = mul_mod(x[0], y[0], qq, qqinv, rr2)
+        # one-sided Montgomery lift (see ct.py _tensor_core): 6 elementwise
+        # passes instead of 8, canonical and bit-identical
+        y0m = mont_mul(y[0], rr2, qq, qqinv)
+        y1m = mont_mul(y[1], rr2, qq, qqinv)
+        d0 = mont_mul(x[0], y0m, qq, qqinv)
         d1 = add_mod(
-            mul_mod(x[0], y[1], qq, qqinv, rr2),
-            mul_mod(x[1], y[0], qq, qqinv, rr2), qq,
+            mont_mul(x[0], y1m, qq, qqinv), mont_mul(x[1], y0m, qq, qqinv), qq
         )
-        d2 = mul_mod(x[1], y[1], qq, qqinv, rr2)
+        d2 = mont_mul(x[1], y1m, qq, qqinv)
         return d0, d1, d2
 
     d_q = tensor(ca, cb, q, qinv, r2)

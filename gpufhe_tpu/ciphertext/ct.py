@@ -115,9 +115,13 @@ def _tensor_core(ca, cb, ctx, level):
     r2 = ctx.r2[:level][:, None]
     a0, a1 = ca
     b0, b1 = cb
-    d0 = mul_mod(a0, b0, q, qinv, r2)
-    d1 = add_mod(mul_mod(a0, b1, q, qinv, r2), mul_mod(a1, b0, q, qinv, r2), q)
-    d2 = mul_mod(a1, b1, q, qinv, r2)
+    # one-sided Montgomery lift: 2 to_mont + 4 mont_mul (6 elementwise
+    # passes) instead of 4 mul_mod (8); results canonical and bit-identical
+    b0m = mont_mul(b0, r2, q, qinv)
+    b1m = mont_mul(b1, r2, q, qinv)
+    d0 = mont_mul(a0, b0m, q, qinv)
+    d1 = add_mod(mont_mul(a0, b1m, q, qinv), mont_mul(a1, b0m, q, qinv), q)
+    d2 = mont_mul(a1, b1m, q, qinv)
     return d0, d1, d2
 
 
@@ -248,9 +252,13 @@ def _mul_full_core(ca, cb, ctx, kscs, rlk, params):
     r2 = ctx.r2[:level][:, None]
     a0, a1 = ca
     b0, b1 = cb
-    d0 = mul_mod(a0, b0, q, qinv, r2)
-    d1 = add_mod(mul_mod(a0, b1, q, qinv, r2), mul_mod(a1, b0, q, qinv, r2), q)
-    d2 = mul_mod(a1, b1, q, qinv, r2)
+    # one-sided Montgomery lift: 2 to_mont + 4 mont_mul (6 elementwise
+    # passes) instead of 4 mul_mod (8); results canonical and bit-identical
+    b0m = mont_mul(b0, r2, q, qinv)
+    b1m = mont_mul(b1, r2, q, qinv)
+    d0 = mont_mul(a0, b0m, q, qinv)
+    d1 = add_mod(mont_mul(a0, b1m, q, qinv), mont_mul(a1, b0m, q, qinv), q)
+    d2 = mont_mul(a1, b1m, q, qinv)
     # coefficient-domain key-switch output: d_i + NTT(ks_i) would be iNTT'd
     # right back for the rescale chain — add iNTT(d_i) + ks_i instead, which
     # is limb-bit-exact by modular linearity and saves a 2k-limb-transform

@@ -82,6 +82,27 @@ def mont_mul(a, b, q, qinv_neg):
     return jnp.where(t >= q, t - q, t)
 
 
+def shoup_mul(a, w, w_shoup, q):
+    """a * w mod q in [0, 2q) for ANY uint32 a and canonical w < q (Shoup).
+
+    w_shoup = floor(w * 2^32 / q) precomputed host-side. The quotient
+    estimate mulhi32(a, w_shoup) undershoots floor(a*w/q) by at most 1
+    (error < a/2^32 < 1), so r = a*w - quot*q lands in [0, 2q); uint32
+    wraparound of both low products is exact because the true r fits in 32
+    bits. ~19 VPU ops vs mont_mul's ~35 — use for multiplies by constants
+    whose Shoup companion is precomputed; callers must either tolerate the
+    lazy [0, 2q) range or spend one conditional subtract to canonicalize."""
+    quot = mulhi32(a, w_shoup)
+    return a * w - quot * q
+
+
+def shoup_np(w: np.ndarray, q) -> np.ndarray:
+    """Host: Shoup companions floor(w * 2^32 / q) for canonical w < q."""
+    w = np.asarray(w, dtype=np.uint64)
+    q = np.asarray(q, dtype=np.uint64)
+    return ((w << np.uint64(32)) // q).astype(np.uint32)
+
+
 def mul_mod(a, b, q, qinv_neg, r2):
     """General a * b mod q for canonical a, b (two Montgomery passes)."""
     return mont_mul(mont_mul(a, b, q, qinv_neg), r2, q, qinv_neg)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -165,15 +166,12 @@ def _recombine_taps(taps, corr, dmp, dms, q, col: bool):
     return s
 
 
-def _fourstep_kernel_v2(
-    q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref, twsh_ref, wr_ref,
-    cl_ref, cr_ref, o_ref,
-):
-    l = pl.program_id(0)
-    q = q_ref[l]
-    dmp = [dmp_ref[l, t] for t in range(7)]
-    dms = [dms_ref[l, t] for t in range(7)]
-    x = x_ref[0]  # u32[a, b]
+def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
+                      twsh_ref, wr_ref, cl_ref, cr_ref, o_ref):
+    q = q_ref[li]
+    dmp = [dmp_ref[li, t] for t in range(7)]
+    dms = [dms_ref[li, t] for t in range(7)]
+    x = x_ref[i]  # u32[a, b]
     a = x.shape[0]
     b = x.shape[1]
 
@@ -184,18 +182,18 @@ def _fourstep_kernel_v2(
     taps = [None] * 7
     for e in range(4):
         s_e = jax.lax.dot_general(
-            wl_ref[0, e * a:(e + 1) * a, :], xcat,
+            wl_ref[i, e * a:(e + 1) * a, :], xcat,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
         for d in range(4):
             t = e + d
             blk = s_e[:, d * b:(d + 1) * b]
             taps[t] = blk if taps[t] is None else taps[t] + blk
-    cl = [cl_ref[0, t] for t in range(7)]
+    cl = [cl_ref[i, t] for t in range(7)]
     a_mat = _recombine_taps(taps, cl, dmp, dms, q, col=False)  # [0, 2q)
 
     # twiddle (elementwise Shoup; [0, 2q) input is fine for offset digits)
-    b_mat = _shoup(a_mat, tw_ref[0], twsh_ref[0], q)
+    b_mat = _shoup(a_mat, tw_ref[i], twsh_ref[i], q)
 
     # stage 2: C = B @ WR mod q, digit planes contracted against the
     # column-concatenated WR (b, 4b)
@@ -205,17 +203,34 @@ def _fourstep_kernel_v2(
             jnp.int8
         )
         s_d = jax.lax.dot_general(
-            bd, wr_ref[0], (((1,), (0,)), ((), ())),
+            bd, wr_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         for e in range(4):
             t = e + d
             blk = s_d[:, e * b:(e + 1) * b]
             taps2[t] = blk if taps2[t] is None else taps2[t] + blk
-    cr = [cr_ref[0, t] for t in range(7)]
+    cr = [cr_ref[i, t] for t in range(7)]
     c_mat = _recombine_taps(taps2, cr, dmp, dms, q, col=True)
     c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)  # canonical [0, q)
-    o_ref[0] = c_mat.T
+    o_ref[i] = c_mat.T
+
+
+def _make_fourstep_kernel_v2(interleave: int):
+    """interleave > 1 runs that many limbs per grid step: their dot/recombine
+    chains are independent, so the VLIW scheduler can overlap one limb's MXU
+    dots with another's VPU recombine."""
+
+    def kernel(q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref, twsh_ref,
+               wr_ref, cl_ref, cr_ref, o_ref):
+        g = pl.program_id(0)
+        for i in range(interleave):
+            _fourstep_body_v2(
+                i, g * interleave + i, q_ref, dmp_ref, dms_ref, x_ref, wl_ref,
+                tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
+            )
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -237,25 +252,30 @@ def fourstep_pallas_v2(
     [0, 2q) intermediates. Bit-exact with ops/ntt.py's jnp formulation
     (canonical output; tests/test_ops.py)."""
     L, a, b = x.shape
+    # measured on chip at N=2^16 L=30: interleave 1/2/3 = 5.76/5.94/6.04 us
+    # per limb-transform — cross-limb ILP does not help Mosaic here
+    il = int(os.environ.get("GPUFHE_NTT_INTERLEAVE", "1"))
+    while L % il:
+        il -= 1
     vm = pltpu.VMEM
     sm = pltpu.SMEM
     with _staged_kernel_trace():
         return pl.pallas_call(
-            _fourstep_kernel_v2,
-            grid=(L,),
+            _make_fourstep_kernel_v2(il),
+            grid=(L // il,),
             in_specs=[
                 pl.BlockSpec(memory_space=sm),  # q [L]
                 pl.BlockSpec(memory_space=sm),  # digit_plain [L, 7]
                 pl.BlockSpec(memory_space=sm),  # digit_shoup [L, 7]
-                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, 4 * a, a), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, a, b), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, b, 4 * b), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, 7, a), lambda l: (l, 0, 0), memory_space=vm),
-                pl.BlockSpec((1, 7, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, 4 * a, a), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, a, b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, b, 4 * b), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, 7, a), lambda l: (l, 0, 0), memory_space=vm),
+                pl.BlockSpec((il, 7, b), lambda l: (l, 0, 0), memory_space=vm),
             ],
-            out_specs=pl.BlockSpec((1, b, a), lambda l: (l, 0, 0), memory_space=vm),
+            out_specs=pl.BlockSpec((il, b, a), lambda l: (l, 0, 0), memory_space=vm),
             out_shape=jax.ShapeDtypeStruct((L, b, a), jnp.uint32),
             interpret=interpret,
         )(q, digit_plain, digit_shoup, x, wl_cat, tw, tw_shoup, wr_cat,

@@ -28,7 +28,13 @@ import numpy as np
 
 from gpufhe_tpu.golden import rns as grns
 from gpufhe_tpu.ops.context import Context
-from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, sub_mod
+from gpufhe_tpu.ops.modops import (
+    add_mod,
+    barrett_reduce_u32,
+    mont_mul,
+    shoup_mul,
+    sub_mod,
+)
 from gpufhe_tpu.params.params import CKKSParams
 
 R = 1 << 32
@@ -74,6 +80,14 @@ class KSContext(NamedTuple):
     # p2q_qhatinv and t into p2q_conv (golden/bgv.py mod_down_coeff_bgv).
     bgv_negtinv_mont: jnp.ndarray  # u32[1]    [-t^{-1}]_{q_last}, Montgomery
     bgv_t_mont: jnp.ndarray  # u32[K-1]  t mod q_i, Montgomery
+    # Shoup companions of the conversion matrices (canonical w + floor(w *
+    # 2^32 / q)): the single-chip base conversions multiply by these instead
+    # of the Montgomery forms — 19 VPU ops/term vs 35 (ops/modops.shoup_mul).
+    # The Montgomery fields above remain for the sharded bodies (parallel/).
+    modup_conv_plain: tuple  # u32[K+alpha, S_g] canonical
+    modup_conv_shoup: tuple  # u32[K+alpha, S_g]
+    p2q_conv_plain: jnp.ndarray  # u32[K, alpha] canonical (t-folded for BGV)
+    p2q_conv_shoup: jnp.ndarray  # u32[K, alpha]
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,8 +96,12 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
     qs = params.q_primes[:level]
     ps = params.p_primes
 
+    from gpufhe_tpu.ops.modops import shoup_np
+
     modup_qhatinv, modup_conv = [], []
+    modup_conv_plain, modup_conv_shoup = [], []
     qp = qs + ps
+    qp_col = np.array(qp, dtype=np.int64)[:, None]
     for d0, d1 in ks_groups(params, level):
         src = qs[d0:d1]
         modup_qhatinv.append(
@@ -91,24 +109,23 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
         )
         # extended matrix over the FULL active chain (identity rows included)
         conv = grns.conv_matrix(src, qp)  # int64[K+alpha, S]
-        modup_conv.append(
-            jnp.asarray(_mont_np(conv, np.array(qp, dtype=np.int64)[:, None]))
-        )
+        modup_conv.append(jnp.asarray(_mont_np(conv, qp_col)))
+        modup_conv_plain.append(jnp.asarray(np.asarray(conv, dtype=np.uint32)))
+        modup_conv_shoup.append(jnp.asarray(shoup_np(conv, qp_col)))
 
     t = params.plain_modulus
+    q_col = np.array(qs, dtype=np.int64)[:, None]
     if t:
         # BGV: fold t^{-1} into the P-side factors and t into the conv rows so
         # the SAME mod_down kernel computes the t-corrected division by P
         p_arr = np.array(ps, dtype=np.int64)
         tinv_p = np.array([pow(t, -1, p) for p in ps], dtype=np.int64)
         p2q_qhatinv = _mont_np(grns.qhat_inv(ps) * tinv_p % p_arr, p_arr)
-        q_col = np.array(qs, dtype=np.int64)[:, None]
-        p2q_conv = _mont_np(grns.conv_matrix(ps, qs) * t % q_col, q_col)
+        p2q_plain = grns.conv_matrix(ps, qs) * t % q_col
     else:
         p2q_qhatinv = _mont_np(grns.qhat_inv(ps), np.array(ps))
-        p2q_conv = _mont_np(
-            grns.conv_matrix(ps, qs), np.array(qs, dtype=np.int64)[:, None]
-        )
+        p2q_plain = grns.conv_matrix(ps, qs) % q_col
+    p2q_conv = _mont_np(p2q_plain, q_col)
     import math
 
     big_p = math.prod(ps)
@@ -134,6 +151,10 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
         qlast_inv_mont=jnp.asarray(_mont_np(qlast_inv, np.array(qs[:-1]))),
         bgv_negtinv_mont=jnp.asarray(bgv_negtinv),
         bgv_t_mont=jnp.asarray(bgv_t),
+        modup_conv_plain=tuple(modup_conv_plain),
+        modup_conv_shoup=tuple(modup_conv_shoup),
+        p2q_conv_plain=jnp.asarray(np.asarray(p2q_plain, dtype=np.uint32)),
+        p2q_conv_shoup=jnp.asarray(shoup_np(p2q_plain, q_col)),
     )
 
 
@@ -161,6 +182,37 @@ def base_convert(
     return acc
 
 
+def _base_convert_shoup(
+    x: jnp.ndarray,
+    src_q: jnp.ndarray,
+    src_qinv: jnp.ndarray,
+    qhatinv_mont: jnp.ndarray,
+    conv_plain: jnp.ndarray,
+    conv_shoup: jnp.ndarray,
+    dst_q: jnp.ndarray,
+) -> jnp.ndarray:
+    """base_convert with Shoup constant-multiplies on the conversion matrix.
+
+    Identical (canonical) result: each v_i * conv[t, i] term lands in
+    [0, 2q_t) and is lazily accumulated with one conditional subtract per
+    add, then canonicalized once — ~19 VPU ops per term vs mont_mul's ~35.
+    The S*T term grid is the dominant VPU cost of ModUp/ModDown."""
+    v = mont_mul(x, qhatinv_mont[:, None], src_q[:, None], src_qinv[:, None])
+    dst_col = dst_q[:, None]
+    two_q = dst_col + dst_col
+    acc = None
+    for i in range(x.shape[0]):
+        term = shoup_mul(
+            v[i][None, :], conv_plain[:, i, None], conv_shoup[:, i, None], dst_col
+        )
+        if acc is None:
+            acc = term
+        else:
+            s = acc + term  # < 4q < 2^32 (primes < 2^30)
+            acc = jnp.where(s >= two_q, s - two_q, s)
+    return jnp.where(acc >= dst_col, acc - dst_col, acc)
+
+
 def mod_up(
     x_coeff: jnp.ndarray, params: CKKSParams, level: int, ctx: Context, ksc: KSContext
 ) -> list[jnp.ndarray]:
@@ -180,14 +232,14 @@ def mod_up(
     for g, (d0, d1) in enumerate(ks_groups(params, level)):
         src_idx = np.arange(d0, d1)
         out.append(
-            base_convert(
+            _base_convert_shoup(
                 x_coeff[d0:d1],
                 ctx.q[src_idx],
                 ctx.qinv_neg[src_idx],
                 ksc.modup_qhatinv[g],
-                ksc.modup_conv[g],
+                ksc.modup_conv_plain[g],
+                ksc.modup_conv_shoup[g],
                 qp_q,
-                qp_qinv,
             )
         )
     return out
@@ -204,14 +256,14 @@ def mod_down(
     alpha = len(params.p_primes)
     p_idx = list(range(params.num_limbs, params.num_limbs + alpha))
     q_b, qinv_b = ctx.q[:k][:, None], ctx.qinv_neg[:k][:, None]
-    p_part = base_convert(
+    p_part = _base_convert_shoup(
         x_coeff[k:],
         ctx.q[np.asarray(p_idx)],
         ctx.qinv_neg[np.asarray(p_idx)],
         ksc.p2q_qhatinv,
-        ksc.p2q_conv,
+        ksc.p2q_conv_plain,
+        ksc.p2q_conv_shoup,
         ctx.q[:k],
-        ctx.qinv_neg[:k],
     )
     diff = sub_mod(x_coeff[:k], p_part, q_b)
     return mont_mul(diff, ksc.pinv_mont[:, None], q_b, qinv_b)

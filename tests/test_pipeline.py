@@ -207,6 +207,15 @@ def test_fused_pipeline_pallas_trace(stack, monkeypatch):
     monkeypatch.setattr(
         npal, "fourstep_pallas", functools.partial(npal.fourstep_pallas, interpret=True)
     )
+    monkeypatch.setattr(
+        nttmod, "fourstep_pallas_v2",
+        functools.partial(npal.fourstep_pallas_v2, interpret=True),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        npal, "fourstep_pallas_v2",
+        functools.partial(npal.fourstep_pallas_v2, interpret=True),
+    )
 
     be = cbackend.DeviceBackend(params, ctx, chest)
     rng = np.random.default_rng(31)
