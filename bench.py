@@ -20,16 +20,16 @@ The numbers printed by THIS version are real: a genuine chain measures
 6.48 ms/iter where the barrier chain measured 0.385 ms/iter.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
-achieved fraction of an HBM speed-of-light estimate for the op: every
-limb-transform streams its polynomial block + its per-limb NTT tables once
-(the fused Pallas kernel keeps all digit partials in VMEM, ops/ntt_pallas.py)
-plus the elementwise MAC/base-conversion passes. The estimate is
-cross-checked against PHYSICS: model bytes / measured time is printed as a
-fraction of HBM peak — it cannot exceed 100%, so a value just under 1.0
-simultaneously validates the model (not a gross overestimate) and the kernel
-(HBM-bound, near speed of light). XLA's cost_analysis() is printed too when
-meaningful, but through the axon PJRT plugin it reports only entry-IO-scale
-bytes (~arguments, not internal traffic) and is flagged + ignored then.
+achieved fraction of the op's physics floor: max(HBM traffic floor, MXU int8
+compute floor). The HBM floor streams every limb-transform's polynomial block
++ per-limb NTT tables once plus the elementwise MAC/base-conversion passes;
+the MXU floor is the digit-dot MAC count at peak int8 throughput. The
+measured per-stage breakdown (scripts/profile_mult_stages.py, echoed below
+when the artifact exists) shows the ACTUAL ceiling is VPU compute in the
+modular recombine/MAC — i.e. the op is compute-bound, not HBM-bound, so
+vs_baseline < 1 quantifies remaining kernel headroom, not wasted bandwidth.
+XLA's cost_analysis() is printed too when meaningful, but through the axon
+PJRT plugin it reports only entry-IO-scale bytes and is flagged + ignored.
 
 Also echoed (when the artifact exists): the flagship N=2^16 double-word
 bootstrap steady-state from scripts/bootstrap_n16_dw.py (BOOT_N16_DW.json,
@@ -87,6 +87,29 @@ def _traffic_estimate(params, level, hbm_bw):
     )
     total = tf_traffic + ew_traffic
     return total, total / hbm_bw
+
+
+def _mxu_estimate(params, level):
+    """MXU compute floor for one fused mult (int8 digit dots).
+
+    Each limb-transform runs 2 stages x 16 digit-pair products of
+    (n1 x n1 x n2) MACs (as 4 stacked dots, ops/ntt_pallas.py v2); peak
+    int8 on TPU v5e is ~394 TOPS. The measured kernel is VPU-bound on the
+    modular recombine (see PROFILE_MULT_*.json stage table), so this floor
+    plus the HBM floor bound the op from below; vs_baseline reports the
+    achieved fraction of whichever floor is higher."""
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n1, n2 = fourstep_split(params.n)
+    alpha, dnum, k = params.alpha, params.dnum, level
+    w = params.scale_words
+    # limb-transforms: iNTT d2 (k), dnum*(k+alpha) modup NTTs, 2 iNTT of
+    # the MAC accumulators, 2k iNTT of d0/d1, 2(k-w) NTT back after the
+    # rescale chain
+    n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * (k - w)
+    macs = n_limb_tf * 2 * 16 * n1 * n1 * n2
+    peak = float(os.environ.get("PEAK_INT8_TOPS", 394e12))
+    return n_limb_tf, 2.0 * macs / peak
 
 
 def _xla_bytes_accessed(compiled, chain):
@@ -184,7 +207,12 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
           f"{t_floor * 1e3:.2f} ms over chain={chain}", flush=True)
     ops_per_s = 1.0 / dt
 
-    est_bytes, sol_s = _traffic_estimate(params, level, hbm_bw)
+    est_bytes, traffic_sol = _traffic_estimate(params, level, hbm_bw)
+    n_limb_tf, mxu_sol = _mxu_estimate(params, level)
+    # the op's lower bound is the max of the two physics floors; the
+    # measured stage profile (scripts/profile_mult_stages.py, echoed below)
+    # shows the actual ceiling is VPU compute in the NTT recombine/MAC
+    sol_s = max(traffic_sol, mxu_sol)
     # Cross-check the traffic MODEL against physics: implied bandwidth =
     # model bytes / measured time. It can never exceed HBM peak, so
     # implied/peak near (but below) 1.0 certifies the model is neither a
@@ -213,8 +241,15 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     print(f"# [{preset_name}] model-implied bandwidth {implied_bw/1e9:.0f} GB/s "
           f"vs HBM peak {hbm_bw/1e9:.0f} GB/s "
           f"({implied_bw/hbm_bw:.1%} — must be < 100%)", flush=True)
-    print(f"# [{preset_name}] {dt*1e3:.3f} ms/mult -> HBM SoL {sol_s*1e3:.3f} ms "
-          f"({1/sol_s:.0f} mult/s)", flush=True)
+    print(f"# [{preset_name}] {dt*1e3:.3f} ms/mult -> floors: HBM "
+          f"{traffic_sol*1e3:.3f} ms, MXU({n_limb_tf} limb-tf) "
+          f"{mxu_sol*1e3:.3f} ms; SoL = {sol_s*1e3:.3f} ms", flush=True)
+    prof = (pathlib.Path(__file__).resolve().parent
+            / f"PROFILE_MULT_{preset_name}.json")
+    if prof.exists():
+        stages = json.loads(prof.read_text()).get("stages_ms")
+        print(f"# [{preset_name}] measured stage breakdown (ms, "
+              f"scripts/profile_mult_stages.py): {stages}", flush=True)
 
     return {
         "metric": f"ckks_mult_relin_rescale_N{params.n}_L{level}"
@@ -225,6 +260,8 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         "traffic_model_mb": round(est_bytes / 1e6),
         "implied_bw_frac_of_peak": round(implied_bw / hbm_bw, 4),
         "traffic_xla_mb": round(xla_bytes / 1e6) if xla_bytes else None,
+        "mxu_floor_ms": round(mxu_sol * 1e3, 3),
+        "hbm_floor_ms": round(traffic_sol * 1e3, 3),
     }
 
 

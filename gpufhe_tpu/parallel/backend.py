@@ -49,6 +49,13 @@ class ShardedBackend:
         self.n1, self.n2 = fourstep_split(params.n)
         self._sharding = NamedSharding(mesh, P(None, "coeff", None))
         self._n_limb = mesh.shape["limb"]
+        # uniform-constant encode caches, mirroring DeviceBackend (the
+        # polynomial evaluators re-encode the same constants every call; an
+        # uncached encode is a host FFT + upload — it made sharded EvalMod
+        # steady-state encode-bound, VERDICT r2 weak #2)
+        self._const_cache = {}  # (value, scale, level) -> sharded eval3d pt
+        self._addp_cache = {}  # (value, scale, level) -> canonical eval3d pt
+        self.encode_misses = 0  # host encodes actually performed
 
     # -- plumbing -----------------------------------------------------------
     def from_single(self, ct) -> ShardedCiphertext:
@@ -94,17 +101,39 @@ class ShardedBackend:
             [sub_mod(x, y, q) for x, y in zip(a.c, b.c)], a.level, a.scale
         )
 
+    @staticmethod
+    def _uniform_key(z, scale: float, level: int):
+        """Cache key for uniform-constant vectors, else None."""
+        z = np.asarray(z)
+        if z.ndim == 0 or (z.ndim == 1 and z.size and (z == z.flat[0]).all()):
+            return (complex(z.flat[0] if z.ndim else z), float(scale), level)
+        return None
+
     def _encode_e3(self, z, scale, level):
-        """Host encode -> device NTT-domain Montgomery eval3d, sharded."""
+        """Host encode -> device NTT-domain Montgomery eval3d, sharded.
+
+        Uniform-constant vectors are cached keyed on (value, scale, level),
+        mirroring DeviceBackend.encode_slots — steady-state bootstrap
+        iterations must perform ZERO host encodes."""
+        key = self._uniform_key(z, scale, level)
+        if key is not None:
+            hit = self._const_cache.get(key)
+            if hit is not None:
+                return hit
+            z = np.broadcast_to(np.complex128(key[0]), (self.params.slots,))
         from gpufhe_tpu.encoding.encoder import plaintext_to_device
 
+        self.encode_misses += 1
         pt = gckks.encode(
             np.asarray(z, dtype=np.complex128), scale,
             self.params.q_primes[:level], self.params.n,
         )
         nat = plaintext_to_device(pt, self.params, self.ctx)  # [level, N] natural
         e3 = sh.natural_to_eval3d(nat, self.n1, self.n2)
-        return jax.device_put(e3, self._sharding)
+        out = jax.device_put(e3, self._sharding)
+        if key is not None:
+            self._const_cache[key] = out
+        return out
 
     def encode_slots(self, z, scale: float, level: int):
         return self._encode_e3(z, scale, level), scale
@@ -121,13 +150,20 @@ class ShardedBackend:
     def add_plain(self, ct, z):
         from gpufhe_tpu.ops.modops import from_mont
 
-        pt_mont = self._encode_e3(
-            np.broadcast_to(np.asarray(z, dtype=np.complex128), (self.params.slots,)),
-            ct.scale, ct.level,
-        )
         q = self._q(ct.level)
-        qinv = self.ctx.qinv_neg[: ct.level][:, None, None]
-        pt = from_mont(pt_mont, q, qinv)  # back to canonical
+        key = self._uniform_key(z, float(ct.scale), ct.level)
+        pt = self._addp_cache.get(key) if key is not None else None
+        if pt is None:
+            pt_mont = self._encode_e3(
+                np.broadcast_to(
+                    np.asarray(z, dtype=np.complex128), (self.params.slots,)
+                ),
+                ct.scale, ct.level,
+            )
+            qinv = self.ctx.qinv_neg[: ct.level][:, None, None]
+            pt = from_mont(pt_mont, q, qinv)  # back to canonical
+            if key is not None:
+                self._addp_cache[key] = pt
         c = list(ct.c)
         c[0] = add_mod(c[0], pt, q)
         return ShardedCiphertext(c, ct.level, ct.scale)

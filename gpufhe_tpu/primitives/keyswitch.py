@@ -99,9 +99,38 @@ def key_switch_core(
     # NOTE: batching the dnum transforms into one vmapped call was measured
     # SLOWER on-chip (vmap-of-pallas lowers to a serialized loop with extra
     # copies); the unrolled per-group calls pipeline better.
+    from gpufhe_tpu.primitives.rns import ks_groups
+
+    import os
+
+    # Measured on chip (N=2^16 L=30, genuine chain): the identity-row skip
+    # saves dnum*alpha limb-transforms but its two concats per group copy
+    # ~65 limb-planes each — 4.31 ms/mult WITH the skip vs 3.98 WITHOUT.
+    # Default off; kept selectable for re-measurement at other shapes
+    # (bigger alpha/dnum shifts the balance).
+    id_skip = os.environ.get("GPUFHE_MODUP_IDSKIP", "0") == "1"
+    groups = ks_groups(params, level)
     acc0 = acc1 = None
     for d, r_coeff in enumerate(raised):
-        r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
+        if not id_skip:
+            r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
+            t0 = mont_mul(r, key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
+            t1 = mont_mul(r, key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
+            acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
+            acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
+            continue
+        # the group's own rows of the raised poly are the identity conversion
+        # (= d2_coeff rows exactly, rns.py modup_conv docstring), so their
+        # forward NTT is the original NTT-domain d2 rows — reuse instead of
+        # re-transforming: saves dnum*alpha of the mult's limb-transforms
+        d0, d1 = groups[d]
+        other_pos = list(range(0, d0)) + list(range(d1, len(qp_idx)))
+        other_limbs = [qp_idx[i] for i in other_pos]
+        r_other = ntt_fwd(
+            jnp.concatenate([r_coeff[:d0], r_coeff[d1:]]), ctx,
+            limbs=other_limbs,
+        )
+        r = jnp.concatenate([r_other[:d0], d2[d0:d1], r_other[d0:]])
         t0 = mont_mul(r, key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
         t1 = mont_mul(r, key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
