@@ -151,8 +151,11 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
 
     w = params.scale_words
 
+    # ctx/kscs/rlk ride as jit ARGUMENTS, not closure constants: closed-over
+    # device arrays lower as HLO literals (CLAUDE.md), and the dw relin key
+    # (~150 MB) blew the tunneled remote-compile request cap (HTTP 413)
     @jax.jit
-    def step_chain(a0, a1, b0, b1):
+    def step_chain(a0, a1, b0, b1, ctx, kscs, rlk):
         # one compiled production-mult body (_mul_full_core: tensor + relin
         # + scale_words chained rescales); iteration i+1 multiplies
         # iteration i's OUTPUT (padded back to level with rows of the old
@@ -169,7 +172,7 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
     @jax.jit
-    def floor_chain(a0, a1, b0, b1):
+    def floor_chain(a0, a1, b0, b1, ctx, kscs, rlk):
         # dispatch + read-sync + loop-carry floor: same carry, empty body
         def body(_, carry):
             return carry
@@ -177,7 +180,7 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
     def timed(compiled, first_args):
-        out = compiled(*first_args)
+        out = compiled(*first_args, ctx, kscs, rlk)
         jax.block_until_ready(out)
         # warmup the read-sync too: the tiny slice below jit-compiles its
         # own program through the tunnel the first time (~0.4 s) — pay that
@@ -189,7 +192,7 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         dts = []
         for _ in range(iters):
             t0 = time.time()
-            out = compiled(*out)
+            out = compiled(*out, ctx, kscs, rlk)
             # host read: hard sync even if block_until_ready returns early
             # through the axon tunnel (bootstrap_n16_probe.py measured)
             _ = np.asarray(out[0][0, :4])
@@ -197,8 +200,8 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         return min(dts)
 
     t0 = time.time()
-    compiled = step_chain.lower(a0, a1, b0, b1).compile()
-    floor_c = floor_chain.lower(a0, a1, b0, b1).compile()
+    compiled = step_chain.lower(a0, a1, b0, b1, ctx, kscs, rlk).compile()
+    floor_c = floor_chain.lower(a0, a1, b0, b1, ctx, kscs, rlk).compile()
     print(f"# [{preset_name}] compile {time.time() - t0:.1f}s", flush=True)
     t_floor = timed(floor_c, (a0, a1, b0, b1))
     t_pass = timed(compiled, (a0, a1, b0, b1))

@@ -35,10 +35,22 @@ from gpufhe_tpu.keys.keys import (
     upload_secret_key,
 )
 from gpufhe_tpu.ops.context import Context, make_context
-from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, mul_mod, sub_mod
+from gpufhe_tpu.ops.modops import (
+    add_mod,
+    barrett_reduce_u32,
+    mont_mul,
+    mul_mod,
+    shoup_np,
+    sub_mod,
+)
 from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
 from gpufhe_tpu.params.params import CKKSParams
-from gpufhe_tpu.primitives.rns import _mont_np, base_convert, make_ks_context
+from gpufhe_tpu.primitives.rns import (
+    _base_convert_shoup,
+    _mont_np,
+    base_convert,
+    make_ks_context,
+)
 
 
 @dataclasses.dataclass
@@ -104,6 +116,16 @@ class BFVMulTables(NamedTuple):
     binv_mont_msk: jnp.ndarray  # u32[1]       [B^{-1}]_{m_sk}
     msk_mod_q: jnp.ndarray  # u32[K]       m_sk mod q (canonical)
     b_mont_q: jnp.ndarray  # u32[K]       [B]_{q}
+    # Shoup companions (canonical w + floor(w*2^32/q)) of the conversion
+    # matrices: the S*T term grids dominate the BFV mult's VPU time, and
+    # shoup_mul is ~19 ops/term vs mont_mul's ~35. Montgomery forms above
+    # stay for the sharded body (parallel/bfv_sharded.py).
+    q2aux_conv_plain: jnp.ndarray  # u32[A, K]
+    q2aux_conv_shoup: jnp.ndarray  # u32[A, K]
+    b2msk_conv_plain: jnp.ndarray  # u32[1, A-1]
+    b2msk_conv_shoup: jnp.ndarray  # u32[1, A-1]
+    b2q_conv_plain: jnp.ndarray  # u32[K, A-1]
+    b2q_conv_shoup: jnp.ndarray  # u32[K, A-1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -146,6 +168,24 @@ def make_bfv_mul_context(params: CKKSParams, level: int):
         ),
         msk_mod_q=jnp.asarray(np.array([m_sk % q for q in qs], dtype=np.uint32)),
         b_mont_q=jnp.asarray(_mont_np([big_b % q for q in qs], q_arr)),
+        q2aux_conv_plain=jnp.asarray(
+            np.asarray(grns.conv_matrix(qs, aux), dtype=np.uint32)
+        ),
+        q2aux_conv_shoup=jnp.asarray(
+            shoup_np(grns.conv_matrix(qs, aux), aux_arr[:, None])
+        ),
+        b2msk_conv_plain=jnp.asarray(
+            np.asarray(grns.conv_matrix(b_primes, (m_sk,)), dtype=np.uint32)
+        ),
+        b2msk_conv_shoup=jnp.asarray(
+            shoup_np(grns.conv_matrix(b_primes, (m_sk,)), np.array([[m_sk]]))
+        ),
+        b2q_conv_plain=jnp.asarray(
+            np.asarray(grns.conv_matrix(b_primes, qs), dtype=np.uint32)
+        ),
+        b2q_conv_shoup=jnp.asarray(
+            shoup_np(grns.conv_matrix(b_primes, qs), q_arr[:, None])
+        ),
     )
     return auxp, aux_ctx, tables
 
@@ -262,9 +302,9 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
 
     def to_aux_ntt(comp):
         coeff = ntt_inv(comp, ctx, limbs=q_idx)
-        conv = base_convert(
-            coeff, ctx.q[:level], ctx.qinv_neg[:level],
-            tabs.q2aux_qhatinv, tabs.q2aux_conv, aux_ctx.q, aux_ctx.qinv_neg,
+        conv = _base_convert_shoup(
+            coeff, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
+            tabs.q2aux_conv_plain, tabs.q2aux_conv_shoup, aux_ctx.q,
         )
         return ntt_fwd(conv, aux_ctx, limbs=a_idx)
 
@@ -293,25 +333,25 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
         daux = ntt_inv(daux_ntt, aux_ctx, limbs=a_idx)
         # r = [t*d]_Q (canonical, Q basis) -> aux basis (approximate)
         r = mont_mul(dq, tabs.t_mont_q[:, None], q, qinv)
-        r_aux = base_convert(
-            r, ctx.q[:level], ctx.qinv_neg[:level],
-            tabs.q2aux_qhatinv, tabs.q2aux_conv, aux_ctx.q, aux_ctx.qinv_neg,
+        r_aux = _base_convert_shoup(
+            r, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
+            tabs.q2aux_conv_plain, tabs.q2aux_conv_shoup, aux_ctx.q,
         )
         # y = (t*d - r) / Q over aux — exact integer division
         td = mont_mul(daux, tabs.t_mont_aux[:, None], aq, aqinv)
         y = mont_mul(sub_mod(td, r_aux, aq), tabs.qinv_mont_aux[:, None], aq, aqinv)
         # Shenoy-Kumaresan exact conversion B ∪ {m_sk} -> Q
-        conv_sk = base_convert(
-            y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1],
-            tabs.b_qhatinv, tabs.b2msk_conv, aux_ctx.q[-1:], aux_ctx.qinv_neg[-1:],
+        conv_sk = _base_convert_shoup(
+            y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
+            tabs.b2msk_conv_plain, tabs.b2msk_conv_shoup, aux_ctx.q[-1:],
         )[0]
         alpha = mont_mul(
             sub_mod(conv_sk, y[-1], aux_ctx.q[-1]),
             tabs.binv_mont_msk[0], aux_ctx.q[-1], aux_ctx.qinv_neg[-1],
         )
-        conv_q = base_convert(
-            y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1],
-            tabs.b_qhatinv, tabs.b2q_conv, ctx.q[:level], ctx.qinv_neg[:level],
+        conv_q = _base_convert_shoup(
+            y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
+            tabs.b2q_conv_plain, tabs.b2q_conv_shoup, ctx.q[:level],
         )
         # centered lift of alpha into each q (golden: alpha possibly negative)
         ra = barrett_reduce_u32(alpha[None, :], q)

@@ -728,6 +728,17 @@ def _dw_modraise_consts(params: CKKSParams):
     q0, q1 = params.q_primes[0], params.q_primes[1]
     big = q0 * q1
     primes = np.asarray(params.q_primes, dtype=np.uint64)
+    # eager even when first called inside a jit trace: every input is host
+    # data, and caching a traced jnp.asarray poisons every later trace that
+    # reads this lru_cache (CLAUDE.md lazily-populated-cache invariant)
+    with jax.ensure_compile_time_eval():
+        return _dw_modraise_consts_eager(q0, big, primes)
+
+
+def _dw_modraise_consts_eager(q0, big, primes):
+    from gpufhe_tpu.primitives.rns import _mont_np
+
+    q1 = int(big // q0)
     return (
         jnp.asarray(_mont_np([pow(q0, -1, q1)], np.asarray([q1]))),  # q0^-1 (mont, mod q1)
         jnp.uint32((big // 2) // q0),  # half1

@@ -356,12 +356,71 @@ class ShardedBackend:
             lvl -= 1
         return [ShardedCiphertext([c0, c1], lvl, scale) for c0, c1 in outs]
 
+    def key_switch(self, ct, which: str):
+        """Re-encrypt under the encapsulation key `which` ('to_eph' /
+        'from_eph') — the sharded Galois program with the identity
+        automorphism (g=1): c0 + ks0(c1), ks1. Enables the sparse-secret
+        encapsulation ModRaise (bootstrap.py) on the mesh."""
+        run, _ = sh._make_sharded_galois(self.params, ct.level, self.mesh, 1)
+        bundle = self._eph_bundle(ct.level, which)
+        c0, c1 = run(ct.c[0], ct.c[1], bundle)
+        return ShardedCiphertext([c0, c1], ct.level, ct.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _eph_bundle(self, level, which: str):
+        ksk = self.chest.eph[which][1]
+        return sh.make_sharded_ks(self.params, level, ksk, self._n_limb)
+
     def mod_raise(self, ct):
-        assert ct.level == 1
-        f = self._mod_raise_fn()
+        if self.params.scale_words == 2:
+            assert ct.level == 2
+            f = self._mod_raise2_fn()
+        else:
+            assert ct.level == 1
+            f = self._mod_raise_fn()
         return ShardedCiphertext(
             [f(c) for c in ct.c], self.params.num_limbs, ct.scale
         )
+
+    @functools.lru_cache(maxsize=None)
+    def _mod_raise2_fn(self):
+        """Sharded double-word ModRaise: centered CRT lift from the composite
+        base Q0 = q0*q1 into the full chain (mirror of ct.py
+        _mod_raise2_core — same centering comparisons, bit-exact)."""
+        from gpufhe_tpu.ciphertext.ct import _dw_modraise_consts
+
+        params, mesh, ctx = self.params, self.mesh, self.ctx
+        level = params.num_limbs
+        q0inv_m, half1, rem, q0_mod_m, big_mod = _dw_modraise_consts(params)
+        t_q01 = sh._ntt_tables_for(ctx, np.arange(2))
+        t_full = sh._ntt_tables_for(ctx, np.arange(level))
+        q1_s = ctx.q[1]
+        q1inv_s = ctx.qinv_neg[1]
+
+        def body(comp, t_q01, t_full, q0_mod_m, big_mod):
+            q = t_full.q[:, None, None]
+            qinv = t_full.qinv[:, None, None]
+            coeff = sh.ntt_inv_body(comp, t_q01)  # [2, n1/C, n2]
+            x0, x1 = coeff[0], coeff[1]
+            x0m1 = barrett_reduce_u32(x0, q1_s)
+            diff = sub_mod(x1, x0m1, q1_s)
+            t = mont_mul(diff, q0inv_m[0], q1_s, q1inv_s)
+            cond = (t > half1) | ((t == half1) & (x0 > rem))
+            a = barrett_reduce_u32(x0[None], q)
+            b = barrett_reduce_u32(t[None], q)
+            v0 = add_mod(a, mont_mul(b, q0_mod_m[:, None, None], q, qinv), q)
+            v = jnp.where(cond[None], sub_mod(v0, big_mod[:, None, None], q), v0)
+            return sh.ntt_fwd_body(v, t_full)
+
+        spec = P(None, "coeff", None)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec, sh.ShardedNTT.spec(), sh.ShardedNTT.spec(),
+                      P(None), P(None)),
+            out_specs=spec, check_vma=False,
+        )
+        jit_fn = jax.jit(fn)
+        return lambda comp: jit_fn(comp, t_q01, t_full, q0_mod_m, big_mod)
 
     @functools.lru_cache(maxsize=None)
     def _mod_raise_fn(self):

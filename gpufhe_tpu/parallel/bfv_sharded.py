@@ -190,3 +190,28 @@ def make_sharded_bfv_mult(params: CKKSParams, level: int, mesh: Mesh):
         return jit_fn(a0, a1, b0, b1, r2_q, r2_aux, t_q, t_aux, t_qp, tabs, ks)
 
     return run, prepare
+
+
+# ---------------------------------------------------------------------------
+# BFV rotations on the mesh: the CKKS sharded Galois/hoisted-fan programs
+# instantiated with the NON-t-corrected parameter view (BFV key switching is
+# the plain CKKS hybrid switch, golden/bfv.py _ckks_view) — the level is
+# kept, no ModSwitch. Mirrors ciphertext/bfv.py ct_rotate/ct_rotate_hoisted.
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_bfv_rotation(params, level: int, mesh: Mesh, steps: int):
+    """(run, prepare) for one BFV rotation on the ('limb','coeff') mesh."""
+    from gpufhe_tpu.parallel import sharded as sh
+
+    return sh.make_sharded_rotation(gbfv._ckks_view(params), level, mesh, steps)
+
+
+def make_sharded_bfv_hoisted_fan(params, level: int, mesh: Mesh, n_offsets: int):
+    """(run, prepare) for a hoisted BFV rotation fan (ONE decomposition for
+    the whole fan — the BSGS inner loop of PIR's plaintext-matrix product)."""
+    from gpufhe_tpu.parallel import sharded as sh
+
+    return sh.make_sharded_hoisted_fan(
+        gbfv._ckks_view(params), level, mesh, n_offsets
+    )

@@ -527,13 +527,71 @@ def _permute_body(x: jnp.ndarray, lin_local: jnp.ndarray) -> jnp.ndarray:
 
     v1 strategy: all_gather the coeff axis (the permutation is global), then
     each shard gathers its own output rows. Traffic is C x the ciphertext —
-    acceptable for rotation-sparse workloads; a ppermute routing version is
-    the planned optimization.
+    still the right choice for FAN programs (R rotations share ONE gather:
+    C x once beats 1 x R routing for R > C); single rotations use the
+    all_to_all routing below (1 x traffic, _permute_body_v2).
     """
     full = jax.lax.all_gather(x, "coeff", axis=1, tiled=True)  # [L, n1, n2]
     L, n1, n2 = full.shape
     out = jnp.take(full.reshape(L, n1 * n2), lin_local.reshape(-1), axis=1)
     return out.reshape(L, lin_local.shape[0], n2)
+
+
+def _perm_route_tables(g: int, n1: int, n2: int, n_coeff: int):
+    """Host routing tables for the 1x-traffic automorphism (v2).
+
+    In the eval3d layout the odd-exponent automorphism is ROW-PURE: output
+    row k1o reads exactly one input row (src mod n1 depends only on k1o —
+    write k = k2*n1 + k1, then g(2k+1) = g(2k1+1) + 2*n1*g*k2, so
+    src = (g(2k+1)-1)/2 == (g(2k1+1)-1)/2 (mod n1)). Each source shard
+    therefore sends, per destination shard, the <= n1/C rows that land
+    there (placed at their output position, garbage elsewhere); one padded
+    all_to_all moves exactly 1x the ciphertext (vs all_gather's C x), and
+    the destination picks its p-th output row from the source shard that
+    owns it.
+
+    Returns (send_idx u32[C, C, B], src_of u32[C, B], col_idx i32[n1, n2]):
+    send_idx[s, d, p] = source-local row index shard s places in the slot
+    destination d reads for output row p; src_of[d, p] = which source shard
+    that is; col_idx = the within-row column gather.
+    """
+    lin = _perm_lin_e3(g, n1, n2)  # [n1, n2] row-major global gather
+    row_src = lin[:, 0] // n2
+    assert (lin // n2 == row_src[:, None]).all(), (
+        "automorphism not row-pure in eval3d layout"
+    )
+    col_idx = (lin % n2).astype(np.int32)
+    b = n1 // n_coeff
+    send_idx = np.zeros((n_coeff, n_coeff, b), dtype=np.int32)
+    src_of = np.zeros((n_coeff, b), dtype=np.int32)
+    for r_out in range(n1):
+        r_in = int(row_src[r_out])
+        s, d, p = r_in // b, r_out // b, r_out % b
+        send_idx[s, d, p] = r_in % b
+        src_of[d, p] = s
+    return send_idx, src_of, col_idx
+
+
+def _permute_body_v2(
+    x: jnp.ndarray, send_idx_local: jnp.ndarray, src_of_local: jnp.ndarray,
+    col_idx_local: jnp.ndarray,
+) -> jnp.ndarray:
+    """1x-traffic automorphism on eval3d blocks [L, B, n2] (see
+    _perm_route_tables). send_idx_local [1, C, B] / src_of_local [1?, B] /
+    col_idx_local [B, n2] arrive pre-sharded over 'coeff'."""
+    L = x.shape[0]
+    # stage rows for every destination: [L, C, B, n2]
+    send = jnp.take(x, send_idx_local[0].reshape(-1), axis=1).reshape(
+        L, send_idx_local.shape[1], send_idx_local.shape[2], x.shape[2]
+    )
+    buf = jax.lax.all_to_all(send, "coeff", split_axis=1, concat_axis=1,
+                             tiled=True)  # [L, C(src), B, n2]
+    # pick output row p from its owning source shard
+    rows = jnp.take_along_axis(
+        buf, src_of_local.reshape(1, 1, -1, 1).astype(jnp.int32), axis=1
+    )[:, 0]  # [L, B, n2]
+    # within-row column permutation
+    return jnp.take_along_axis(rows, col_idx_local[None], axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -915,21 +973,27 @@ def make_sharded_conjugation(params: CKKSParams, level: int, mesh: Mesh):
 @functools.lru_cache(maxsize=None)
 def _make_sharded_galois(params: CKKSParams, level: int, mesh: Mesh, g: int):
     n_limb = mesh.shape["limb"]
+    n_coeff = mesh.shape["coeff"]
     n1, n2 = fourstep_split(params.n)
     ctx = make_context(params)
     k = level
     qp_idx = np.asarray(qp_indices(params, level))
     t_q = _ntt_tables_for(ctx, np.arange(k))
     t_qp = _ntt_tables_for(ctx, qp_idx)
-    lin = jnp.asarray(_perm_lin_e3(g, n1, n2))
+    send_idx, src_of, col_idx = _perm_route_tables(g, n1, n2, n_coeff)
+    send_idx = jnp.asarray(send_idx)
+    src_of = jnp.asarray(src_of)
+    col_idx = jnp.asarray(col_idx)
     gmax_static = math.ceil(len(ks_groups(params, level)) / n_limb)
 
     ct_spec = P(None, "coeff", None)
 
-    def body(c0, c1, lin_local, t_q, t_qp, ks):
+    def body(c0, c1, send_idx, src_of, col_idx, t_q, t_qp, ks):
         q = t_q.q[:, None, None]
-        c0g = _permute_body(c0, lin_local)
-        c1g = _permute_body(c1, lin_local)
+        # 1x-traffic routed automorphism (v2): all_to_all instead of the
+        # fan paths' shared all_gather
+        c0g = _permute_body_v2(c0, send_idx, src_of[0], col_idx)
+        c1g = _permute_body_v2(c1, send_idx, src_of[0], col_idx)
         ks0, ks1 = _keyswitch_body(c1g, t_q, t_qp, ks, level, gmax_static)
         return add_mod(c0g, ks0, q), ks1
 
@@ -937,7 +1001,8 @@ def _make_sharded_galois(params: CKKSParams, level: int, mesh: Mesh, g: int):
         body,
         mesh=mesh,
         in_specs=(
-            ct_spec, ct_spec, P("coeff", None),
+            ct_spec, ct_spec,
+            P("coeff", None, None), P("coeff", None), P("coeff", None),
             ShardedNTT.spec(), ShardedNTT.spec(), ShardedKS.spec(),
         ),
         out_specs=(ct_spec, ct_spec),
@@ -950,6 +1015,6 @@ def _make_sharded_galois(params: CKKSParams, level: int, mesh: Mesh, g: int):
 
     def run(c0, c1, bundle):
         ks, _ = bundle
-        return jit_fn(c0, c1, lin, t_q, t_qp, ks)
+        return jit_fn(c0, c1, send_idx, src_of, col_idx, t_q, t_qp, ks)
 
     return run, prepare

@@ -380,6 +380,30 @@ def preset(name: str) -> CKKSParams:
         return CKKSParams(
             n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp), scale_bits=28,
         )
+    if name == "boot_mid_dw":
+        # mid-scale DOUBLE-WORD bootstrap (N=2^14): the production dw
+        # machinery (Delta=2^56 limb pairs, composite 60-bit base, cheb
+        # EvalMod, sparse-secret encapsulation ModRaise) at the largest ring
+        # an 8-virtual-CPU mesh tolerates — the sharded-bootstrap stress
+        # preset for BASELINE config 5's "sharded over a multi-host mesh"
+        # (the N=2^16 chest alone exceeds CPU-mesh wall-clock budgets).
+        # 17 double levels: CtS 4 + StC 4 (radix_log=4 over 2^13 slots) +
+        # cheb EvalMod ~7 + margin
+        n = 2**14
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 2)
+        pp = gen_ntt_primes(30, two_n, 6, skip=2)
+        cands = balanced_prime_candidates(28, two_n, exclude=tuple(q0 + pp))
+        assert len(cands) >= 34
+        picked = cands[:34]
+        picked.sort(key=lambda q: math.log2(q / 2**28))
+        qi = []
+        for i in range(17):
+            qi.extend([picked[i], picked[33 - i]])
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
+            scale_bits=56, scale_words=2, eph_hamming_weight=32,
+        )
     if name == "boot_mid":
         # mid-scale bootstrap (N=2^12): the sharded-bootstrap stress preset —
         # big enough that the mesh programs shard real work, small enough for

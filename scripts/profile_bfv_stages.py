@@ -1,0 +1,171 @@
+"""Attribute the BFV N=2^16 mult wall time to its BEHZ pipeline stages.
+
+Same genuine-chain methodology as profile_mult_stages.py (xor-reduce tie,
+empty-floor subtraction). Run on the real chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gpufhe_tpu.ciphertext import bfv as dbfv
+from gpufhe_tpu.ciphertext import ct as dct
+from gpufhe_tpu.ops.modops import mont_mul
+from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from gpufhe_tpu.params.params import make_context, preset
+from gpufhe_tpu.primitives.rns import _base_convert_shoup
+
+assert jax.devices()[0].platform == "tpu", jax.devices()
+
+CHAIN = int(os.environ.get("PROFILE_CHAIN", "16"))
+ITERS = 3
+params = preset("bfv_n16")
+level = params.num_limbs
+ctx = make_context(params)
+auxp, aux_ctx, tabs = dbfv.make_bfv_mul_context(params, level)
+ksc = dbfv._ckks_ksc(params, level)
+A = len(auxp.q_primes)
+rng = np.random.default_rng(0)
+from __graft_entry__ import _random_ct, _random_key
+
+rlk = _random_key(params, rng)
+a0, a1 = _random_ct(params, level, rng)
+qa = np.asarray(auxp.q_primes, dtype=np.uint32)
+x_aux = jnp.asarray(rng.integers(0, qa[:, None], size=(A, params.n),
+                                 dtype=np.uint32))
+print(f"# bfv_n16: N={params.n} L={level} aux={A} chain={CHAIN}", flush=True)
+
+_floor_cache = {}
+
+
+def _tie(xs, y):
+    """Genuine dependency: xor-reduce every output leaf into input 0 (see
+    profile_mult_stages.py — optimization_barrier and element ties are
+    both DCE'd)."""
+    s = jnp.zeros((), jnp.uint32)
+    for leaf in jax.tree_util.tree_leaves(y):
+        s = s ^ jax.lax.reduce(
+            leaf.astype(jnp.uint32), np.uint32(0), jax.lax.bitwise_xor,
+            tuple(range(leaf.ndim)),
+        )
+    return (xs[0] ^ s,) + tuple(xs[1:])
+
+
+def timed_chain(name, f, args):
+    @jax.jit
+    def prog(*xs):
+        def body(_, xs):
+            return _tie(xs, f(*xs))
+
+        return jax.lax.fori_loop(0, CHAIN, body, tuple(xs))
+
+    shapes = tuple((x.shape, str(x.dtype)) for x in args)
+
+    @jax.jit
+    def floor_prog(*xs):
+        def body(_, xs):
+            return _tie(xs, (xs[0],))
+
+        return jax.lax.fori_loop(0, CHAIN, body, tuple(xs))
+
+    def run(prog, args):
+        t0 = time.time()
+        compiled = prog.lower(*args).compile()
+        tc = time.time() - t0
+        out = compiled(*args)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0].reshape(-1)[:4])
+        dts = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            out = compiled(*out)
+            _ = np.asarray(out[0].reshape(-1)[:4])
+            dts.append((time.time() - t0) / CHAIN)
+        return min(dts), tc
+
+    if shapes not in _floor_cache:
+        _floor_cache[shapes] = run(floor_prog, args)[0]
+    floor = _floor_cache[shapes]
+    raw, tc = run(prog, args)
+    dt = max(raw - floor, 0.0)
+    print(f"# {name:<28s} {dt * 1e3:8.3f} ms  (raw {raw * 1e3:.3f}, floor "
+          f"{floor * 1e3:.3f}, compile {tc:.1f}s)", flush=True)
+    return dt
+
+results = {}
+q_idx = list(range(level))
+a_idx = list(range(A))
+
+results["intt_q"] = timed_chain(
+    "intt_q[30]", lambda x: ntt_inv(x, ctx, limbs=q_idx), (a0,))
+results["ntt_aux"] = timed_chain(
+    "ntt_aux[34]", lambda x: ntt_fwd(x, aux_ctx, limbs=a_idx), (x_aux,))
+
+
+def f_q2aux(x):
+    return _base_convert_shoup(
+        x, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
+        tabs.q2aux_conv_plain, tabs.q2aux_conv_shoup, aux_ctx.q,
+    )
+
+
+results["conv_q2aux"] = timed_chain("conv q->aux", f_q2aux, (a0,))
+
+
+def f_to_aux(x):
+    coeff = ntt_inv(x, ctx, limbs=q_idx)
+    return ntt_fwd(f_q2aux(coeff), aux_ctx, limbs=a_idx)
+
+
+results["to_aux_full"] = timed_chain("to_aux (iNTT+conv+NTT)", f_to_aux, (a0,))
+
+
+def f_tensor_pair(x, y):
+    d = dbfv._bfv_tensor_core((x, y), (y, x), ctx, aux_ctx, tabs, params,
+                              auxp, level)
+    return d
+
+
+results["bfv_tensor"] = timed_chain("bfv_tensor (full BEHZ)", f_tensor_pair,
+                                    (a0, a1))
+
+
+def f_relin(d2):
+    return dct._relin_core((a0, a1, d2), ctx, ksc, rlk, params, level)
+
+
+results["relin"] = timed_chain("relin (ckks ks)", f_relin, (a1,))
+
+
+def f_mul(x, y):
+    d = dbfv._bfv_tensor_core((x, y), (y, x), ctx, aux_ctx, tabs, params,
+                              auxp, level)
+    return dct._relin_core(d, ctx, ksc, rlk, params, level)
+
+
+results["bfv_mul_full"] = timed_chain("bfv mult+relin", f_mul, (a0, a1))
+
+recon = results["bfv_tensor"] + results["relin"]
+print(f"# bfv_mul_full {results['bfv_mul_full']*1e3:.3f} ms; tensor+relin "
+      f"= {recon*1e3:.3f} ms", flush=True)
+out = {"stages_ms": {k: round(v * 1e3, 4) for k, v in results.items()}}
+print(json.dumps(out), flush=True)
+with open("PROFILE_BFV_N16.json", "w") as f:
+    json.dump(out, f, indent=1)

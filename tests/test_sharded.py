@@ -361,3 +361,141 @@ def test_sharded_bfv_mult_matches_single_chip(mesh):
     c0, c1 = run(*blocks, bundle)
     assert (sh.unshard_ct_component(c0) == np.asarray(want.c[0])).all()
     assert (sh.unshard_ct_component(c1) == np.asarray(want.c[1])).all()
+
+
+@pytest.mark.slow
+def test_sharded_double_word_bootstrap_bit_exact(mesh):
+    """The FULL double-word bootstrap composed over ShardedBackend ==
+    DeviceBackend limb for limb (BASELINE config 5 "sharded" at the dw CI
+    scale), and the second iteration performs ZERO host encodes (the
+    sharded const/add_plain caches, VERDICT r2 weak #2)."""
+    from gpufhe_tpu.ciphertext.backend import DeviceBackend
+    from gpufhe_tpu.ciphertext.bootstrap import Bootstrapper, bootstrap_rotations
+    from gpufhe_tpu.parallel.backend import ShardedBackend
+
+    params = preset("boot_dw_ci")
+    assert params.scale_words == 2
+    ctx = make_context(params)
+    rots = bootstrap_rotations(params, transform="factored", radix_log=6)
+    chest = dkeys.keygen(
+        params, np.random.default_rng(7), rotations=tuple(rots),
+        conjugation=True,
+    )
+    dev = DeviceBackend(params, ctx, chest)
+    bs_dev = Bootstrapper(
+        dev, transform="factored", radix_log=6, evalmod="cheb", k_bound=5.0,
+        fuse_evalmod=False,
+    )
+    shb = ShardedBackend(params, mesh, chest)
+    bs_sh = Bootstrapper(
+        shb, transform="factored", radix_log=6, evalmod="cheb", k_bound=5.0
+    )
+
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=params.slots)
+         + 1j * rng.normal(size=params.slots)) * 0.2
+    ct = dct.encrypt(
+        encoder.encode(z, params), params, chest.device_pk, ctx,
+        np.random.default_rng(1), params.scale, level=2,
+    )
+    want = bs_dev(ct)
+    got = bs_sh(shb.from_single(ct))
+    assert got.level == want.level and got.scale == want.scale
+    for cs, cd in zip(got.c, want.c):
+        assert (sh.unshard_ct_component(cs) == np.asarray(cd)).all()
+
+    before = shb.encode_misses
+    got2 = bs_sh(shb.from_single(ct))
+    assert shb.encode_misses == before, (
+        f"{shb.encode_misses - before} host encodes in sharded steady state"
+    )
+    assert np.abs(shb.decrypt_decode(got2) - z).max() < 1e-3
+
+
+def test_sharded_bfv_rotation_matches_single_chip(mesh):
+    """Sharded BFV rotate (non-t-corrected KS view) == single-chip
+    ct_rotate limb for limb; slots land where the automorphism sends them
+    (VERDICT r2 item 10)."""
+    from gpufhe_tpu.ciphertext import bfv as dbfv
+    from gpufhe_tpu.golden import bfv as gbfv
+    from gpufhe_tpu.parallel.bfv_sharded import (
+        make_sharded_bfv_hoisted_fan,
+        make_sharded_bfv_rotation,
+    )
+
+    params = preset("bfv_ci")
+    ctx = make_context(params)
+    chest = dbfv.keygen(params, np.random.default_rng(7), rotations=(3, 5))
+    t = params.plain_modulus
+    z = np.random.default_rng(8).integers(0, t, size=params.n)
+    ct = dbfv.encrypt(gbfv.encode(z, params), params, chest.device_pk, ctx,
+                      np.random.default_rng(33))
+    want = dbfv.ct_rotate(ct, 3, params, ctx, chest.galois[3][1])
+    assert want.level == ct.level  # BFV rotation keeps the chain
+
+    run, prepare = make_sharded_bfv_rotation(params, ct.level, mesh, 3)
+    bundle = prepare(chest.galois[3][1])
+    c0 = sh.shard_ct_component(ct.c[0], params, mesh)
+    c1 = sh.shard_ct_component(ct.c[1], params, mesh)
+    o0, o1 = run(c0, c1, bundle)
+    assert (sh.unshard_ct_component(o0) == np.asarray(want.c[0])).all()
+    assert (sh.unshard_ct_component(o1) == np.asarray(want.c[1])).all()
+
+    # hoisted fan: both rotations from ONE decomposition, == ct_rotate_hoisted
+    from gpufhe_tpu.golden.ckks import galois_exponent
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n1, n2 = fourstep_split(params.n)
+    gks = {s: chest.galois[s][1] for s in (3, 5)}
+    want_fan = dbfv.ct_rotate_hoisted(ct, [3, 5], params, ctx, gks)
+    fan_run, fan_prep = make_sharded_bfv_hoisted_fan(params, ct.level, mesh, 2)
+    lins = jax.device_put(
+        np.stack([
+            sh._perm_lin_e3(galois_exponent(s, params.n), n1, n2)
+            for s in (3, 5)
+        ]),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "coeff", None)
+        ),
+    )
+    outs = fan_run(c0, c1, lins, fan_prep([gks[3], gks[5]]))
+    for (g0, g1), w in zip(outs, want_fan):
+        assert (sh.unshard_ct_component(g0) == np.asarray(w.c[0])).all()
+        assert (sh.unshard_ct_component(g1) == np.asarray(w.c[1])).all()
+
+
+def test_permute_v2_routing_matches_v1_all_gather(mesh):
+    """The 1x-traffic all_to_all-routed automorphism (_permute_body_v2) ==
+    the all_gather path (_permute_body) element-exactly, for rotations and
+    conjugation at several levels (VERDICT r2 item 4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpufhe_tpu.golden.ckks import galois_exponent
+
+    params = preset("ci_small")
+    n1, n2 = fourstep_split(params.n)
+    n_coeff = mesh.shape["coeff"]
+    rng = np.random.default_rng(3)
+    qp = np.asarray(params.q_primes + params.p_primes, dtype=np.uint32)
+    x = rng.integers(0, qp[:, None, None], size=(len(qp), n1, n2),
+                     dtype=np.uint32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "coeff", None)))
+    for g in [galois_exponent(1, params.n), galois_exponent(5, params.n),
+              galois_exponent(params.slots - 1, params.n), 2 * params.n - 1]:
+        lin = jnp.asarray(sh._perm_lin_e3(g, n1, n2))
+        send_idx, src_of, col_idx = sh._perm_route_tables(g, n1, n2, n_coeff)
+
+        v1 = jax.jit(jax.shard_map(
+            sh._permute_body, mesh=mesh,
+            in_specs=(P(None, "coeff", None), P("coeff", None)),
+            out_specs=P(None, "coeff", None), check_vma=False,
+        ))(xs, lin)
+        v2 = jax.jit(jax.shard_map(
+            lambda a, si, so, ci: sh._permute_body_v2(a, si, so[0], ci),
+            mesh=mesh,
+            in_specs=(P(None, "coeff", None), P("coeff", None, None),
+                      P("coeff", None), P("coeff", None)),
+            out_specs=P(None, "coeff", None), check_vma=False,
+        ))(xs, jnp.asarray(send_idx), jnp.asarray(src_of),
+           jnp.asarray(col_idx))
+        assert (np.asarray(v1) == np.asarray(v2)).all(), f"g={g}"
