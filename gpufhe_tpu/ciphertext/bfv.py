@@ -43,7 +43,8 @@ from gpufhe_tpu.ops.modops import (
     shoup_np,
     sub_mod,
 )
-from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from gpufhe_tpu.ops.convert_pallas import digit_convert, make_digit_convert
+from gpufhe_tpu.ops.ntt import _use_pallas, ntt_fwd, ntt_inv
 from gpufhe_tpu.params.params import CKKSParams
 from gpufhe_tpu.primitives.rns import (
     _base_convert_shoup,
@@ -126,6 +127,11 @@ class BFVMulTables(NamedTuple):
     b2msk_conv_shoup: jnp.ndarray  # u32[1, A-1]
     b2q_conv_plain: jnp.ndarray  # u32[K, A-1]
     b2q_conv_shoup: jnp.ndarray  # u32[K, A-1]
+    # MXU digit-dot tables (ops/convert_pallas.py) for the two WIDE
+    # conversions (S ~ 30 source limbs); the TPU path contracts them on the
+    # MXU, the CPU path keeps the Shoup forms above. b2msk (T=1) stays VPU.
+    q2aux_dc: object  # DigitConvertTables, Q -> aux
+    b2q_dc: object  # DigitConvertTables, B -> Q
 
 
 @functools.lru_cache(maxsize=None)
@@ -185,6 +191,10 @@ def make_bfv_mul_context(params: CKKSParams, level: int):
         ),
         b2q_conv_shoup=jnp.asarray(
             shoup_np(grns.conv_matrix(b_primes, qs), q_arr[:, None])
+        ),
+        q2aux_dc=make_digit_convert(qs, aux, _mont_np(grns.qhat_inv(qs), q_arr)),
+        b2q_dc=make_digit_convert(
+            b_primes, qs, _mont_np(grns.qhat_inv(b_primes), b_arr)
         ),
     )
     return auxp, aux_ctx, tables
@@ -300,13 +310,25 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
     aq, aqinv = aux_ctx.q[:, None], aux_ctx.qinv_neg[:, None]
     ar2 = aux_ctx.r2[:, None]
 
-    def to_aux_ntt(comp):
-        coeff = ntt_inv(comp, ctx, limbs=q_idx)
-        conv = _base_convert_shoup(
-            coeff, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
+    # the two WIDE conversions (S ~ level source limbs) ride the MXU digit
+    # kernel on TPU; CPU keeps the per-term Shoup path (bit-identical —
+    # tests/test_ops.py::test_digit_convert_matches_base_convert)
+    if _use_pallas():
+        conv_q2aux = lambda x: digit_convert(x, tabs.q2aux_dc)
+        conv_b2q = lambda y: digit_convert(y, tabs.b2q_dc)
+    else:
+        conv_q2aux = lambda x: _base_convert_shoup(
+            x, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
             tabs.q2aux_conv_plain, tabs.q2aux_conv_shoup, aux_ctx.q,
         )
-        return ntt_fwd(conv, aux_ctx, limbs=a_idx)
+        conv_b2q = lambda y: _base_convert_shoup(
+            y, aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
+            tabs.b2q_conv_plain, tabs.b2q_conv_shoup, ctx.q[:level],
+        )
+
+    def to_aux_ntt(comp):
+        coeff = ntt_inv(comp, ctx, limbs=q_idx)
+        return ntt_fwd(conv_q2aux(coeff), aux_ctx, limbs=a_idx)
 
     a_aux = [to_aux_ntt(comp) for comp in ca]
     b_aux = [to_aux_ntt(comp) for comp in cb]
@@ -333,10 +355,7 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
         daux = ntt_inv(daux_ntt, aux_ctx, limbs=a_idx)
         # r = [t*d]_Q (canonical, Q basis) -> aux basis (approximate)
         r = mont_mul(dq, tabs.t_mont_q[:, None], q, qinv)
-        r_aux = _base_convert_shoup(
-            r, ctx.q[:level], ctx.qinv_neg[:level], tabs.q2aux_qhatinv,
-            tabs.q2aux_conv_plain, tabs.q2aux_conv_shoup, aux_ctx.q,
-        )
+        r_aux = conv_q2aux(r)
         # y = (t*d - r) / Q over aux — exact integer division
         td = mont_mul(daux, tabs.t_mont_aux[:, None], aq, aqinv)
         y = mont_mul(sub_mod(td, r_aux, aq), tabs.qinv_mont_aux[:, None], aq, aqinv)
@@ -349,10 +368,7 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
             sub_mod(conv_sk, y[-1], aux_ctx.q[-1]),
             tabs.binv_mont_msk[0], aux_ctx.q[-1], aux_ctx.qinv_neg[-1],
         )
-        conv_q = _base_convert_shoup(
-            y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
-            tabs.b2q_conv_plain, tabs.b2q_conv_shoup, ctx.q[:level],
-        )
+        conv_q = conv_b2q(y[:-1])
         # centered lift of alpha into each q (golden: alpha possibly negative)
         ra = barrett_reduce_u32(alpha[None, :], q)
         lifted = jnp.where(

@@ -203,3 +203,42 @@ def test_pallas_v2_kernel_matches_xla_path(direction):
         )
     ).reshape(L, n)
     assert (got == want).all()
+
+
+def test_digit_convert_matches_base_convert():
+    """The MXU digit base conversion (ops/convert_pallas.py, interpret mode
+    on CPU) == the per-term Shoup formulation, element-exact, at a BFV-like
+    wide source basis."""
+    from gpufhe_tpu.golden import rns as grns
+    from gpufhe_tpu.ops.convert_pallas import digit_convert, make_digit_convert
+    from gpufhe_tpu.params.params import gen_ntt_primes
+    from gpufhe_tpu.primitives.rns import _base_convert_shoup, _mont_np
+    from gpufhe_tpu.ops.modops import shoup_np
+
+    n = 2048
+    src = tuple(gen_ntt_primes(28, 2 * 128, 12))
+    dst = tuple(gen_ntt_primes(29, 2 * 128, 14))
+    qhat_m = _mont_np(grns.qhat_inv(src), np.array(src, dtype=np.int64))
+    x = np.stack([
+        RNG.integers(0, q, size=n, dtype=np.int64) for q in src
+    ]).astype(np.uint32)
+
+    dst_col = np.array(dst, dtype=np.int64)[:, None]
+    conv = grns.conv_matrix(src, dst) % dst_col
+    import jax.numpy as jnp
+
+    want = np.asarray(_base_convert_shoup(
+        jnp.asarray(x),
+        jnp.asarray(np.array(src, dtype=np.uint32)),
+        jnp.asarray(np.array(
+            [(-pow(q, -1, 1 << 32)) % (1 << 32) for q in src], dtype=np.uint32
+        )),
+        jnp.asarray(qhat_m),
+        jnp.asarray(conv.astype(np.uint32)),
+        jnp.asarray(shoup_np(conv, dst_col)),
+        jnp.asarray(np.array(dst, dtype=np.uint32)),
+    ))
+
+    dc = make_digit_convert(src, dst, qhat_m)
+    got = np.asarray(digit_convert(jnp.asarray(x), dc, interpret=True))
+    assert (got == want).all()
