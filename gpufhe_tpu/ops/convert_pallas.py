@@ -55,16 +55,20 @@ class DigitConvertTables(NamedTuple):
 
 
 def make_digit_convert(
-    src_primes, dst_primes, qhatinv_mont: np.ndarray
+    src_primes, dst_primes, qhatinv_mont: np.ndarray, conv: np.ndarray | None = None
 ) -> DigitConvertTables:
+    """conv: optional [T, S] int64 matrix overriding conv_matrix(src, dst) —
+    for variants that fold extra factors in (e.g. the BGV t-corrected
+    ModDown, primitives/rns.py make_ks_context p2q_plain)."""
     src = np.asarray(src_primes, dtype=np.int64)
     dst = np.asarray(dst_primes, dtype=np.int64)
     s_dim, t_dim = len(src), len(dst)
     assert s_dim * 128 * 128 * 4 < 2**31, "tap bound outgrows int32"
     assert (dst > (1 << 26)).all(), "corrections sized for 27+-bit primes"
-    conv = grns.conv_matrix(
-        tuple(int(q) for q in src), tuple(int(q) for q in dst)
-    )  # [T, S]
+    if conv is None:
+        conv = grns.conv_matrix(
+            tuple(int(q) for q in src), tuple(int(q) for q in dst)
+        )  # [T, S]
     digits = _digits_i8(np.asarray(conv % dst[:, None], dtype=np.uint32))
     # runtime digits are offset by -128, so tap t measures
     #   sum_i conv_digit[e] * (v_digit[d] - 128),  t = e + d

@@ -420,7 +420,13 @@ def preset(name: str) -> CKKSParams:
     if name == "config4_rotation":
         return _mk(n=2**15, n_q=12, n_p=3, scale_bits=28)
     if name == "config5_boot":
-        return _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+        # alpha=15/dnum=2 (was 5/6): the mult's limb-transform count is
+        # k + dnum(k+alpha) + 2(k+alpha) + 2k + 2(k-1) — 328 vs 428 at
+        # alpha=15 — and the wide ModUp/ModDown conversions (S=15) ride the
+        # MXU digit kernel (ops/convert_pallas.py). Security headroom is
+        # ample: log QP = 45*28 ~ 1260 << 1772 (128-bit at N=2^16, dense
+        # secret; tests/test_models_utils.py::test_security_accounting).
+        return _mk(n=2**16, n_q=30, n_p=15, scale_bits=28)
     if name == "config5_boot_h":
         # bootstrappable config 5: sparse secret keeps the ModRaise overflow
         # small in the EvalMod sine range; BALANCED prime chain so scale

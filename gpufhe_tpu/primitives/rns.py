@@ -47,6 +47,20 @@ def _mont_np(x, q) -> np.ndarray:
     return (x * (np.uint64(R) % q) % q).astype(np.uint32)
 
 
+def _use_mxu_convert(s_dim: int) -> bool:
+    """Route a base conversion to the MXU digit kernel (convert_pallas.py)?
+
+    Per-output-element VPU cost: Shoup loop ~19*S ops vs digit recombine
+    ~125 + digit prep — the crossover is S ~ 8 (the kernel's stacked i8
+    dots are effectively free next to the recombine). CPU keeps the Shoup
+    path (bit-identical; test_digit_convert_matches_base_convert)."""
+    if s_dim < 8:
+        return False
+    from gpufhe_tpu.ops.ntt import _use_pallas
+
+    return _use_pallas()
+
+
 def ks_groups(params: CKKSParams, level: int) -> list[tuple[int, int]]:
     """(start, stop) limb ranges of the active key-switch decomposition groups."""
     alpha = params.alpha
@@ -88,6 +102,11 @@ class KSContext(NamedTuple):
     modup_conv_shoup: tuple  # u32[K+alpha, S_g]
     p2q_conv_plain: jnp.ndarray  # u32[K, alpha] canonical (t-folded for BGV)
     p2q_conv_shoup: jnp.ndarray  # u32[K, alpha]
+    # MXU digit-dot tables (ops/convert_pallas.py): the TPU path contracts
+    # WIDE conversions (S >= _DC_MIN_SRC source limbs, e.g. alpha=15 chains)
+    # on the MXU; narrow ones and the CPU path keep the Shoup VPU loop.
+    modup_dc: tuple  # DigitConvertTables per group
+    p2q_dc: object  # DigitConvertTables (t-folded conv for BGV)
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,16 +121,19 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
     modup_conv_plain, modup_conv_shoup = [], []
     qp = qs + ps
     qp_col = np.array(qp, dtype=np.int64)[:, None]
+    from gpufhe_tpu.ops.convert_pallas import make_digit_convert
+
+    modup_dc = []
     for d0, d1 in ks_groups(params, level):
         src = qs[d0:d1]
-        modup_qhatinv.append(
-            jnp.asarray(_mont_np(grns.qhat_inv(src), np.array(src)))
-        )
+        qhatinv_m = _mont_np(grns.qhat_inv(src), np.array(src))
+        modup_qhatinv.append(jnp.asarray(qhatinv_m))
         # extended matrix over the FULL active chain (identity rows included)
         conv = grns.conv_matrix(src, qp)  # int64[K+alpha, S]
         modup_conv.append(jnp.asarray(_mont_np(conv, qp_col)))
         modup_conv_plain.append(jnp.asarray(np.asarray(conv, dtype=np.uint32)))
         modup_conv_shoup.append(jnp.asarray(shoup_np(conv, qp_col)))
+        modup_dc.append(make_digit_convert(src, qp, qhatinv_m, conv=conv))
 
     t = params.plain_modulus
     q_col = np.array(qs, dtype=np.int64)[:, None]
@@ -155,6 +177,8 @@ def make_ks_context(params: CKKSParams, level: int) -> KSContext:
         modup_conv_shoup=tuple(modup_conv_shoup),
         p2q_conv_plain=jnp.asarray(np.asarray(p2q_plain, dtype=np.uint32)),
         p2q_conv_shoup=jnp.asarray(shoup_np(p2q_plain, q_col)),
+        modup_dc=tuple(modup_dc),
+        p2q_dc=make_digit_convert(ps, qs, p2q_qhatinv, conv=p2q_plain),
     )
 
 
@@ -230,6 +254,11 @@ def mod_up(
     qp_q, qp_qinv = ctx.q[qp_idx], ctx.qinv_neg[qp_idx]
     out = []
     for g, (d0, d1) in enumerate(ks_groups(params, level)):
+        if _use_mxu_convert(d1 - d0):
+            from gpufhe_tpu.ops.convert_pallas import digit_convert
+
+            out.append(digit_convert(x_coeff[d0:d1], ksc.modup_dc[g]))
+            continue
         src_idx = np.arange(d0, d1)
         out.append(
             _base_convert_shoup(
@@ -256,15 +285,20 @@ def mod_down(
     alpha = len(params.p_primes)
     p_idx = list(range(params.num_limbs, params.num_limbs + alpha))
     q_b, qinv_b = ctx.q[:k][:, None], ctx.qinv_neg[:k][:, None]
-    p_part = _base_convert_shoup(
-        x_coeff[k:],
-        ctx.q[np.asarray(p_idx)],
-        ctx.qinv_neg[np.asarray(p_idx)],
-        ksc.p2q_qhatinv,
-        ksc.p2q_conv_plain,
-        ksc.p2q_conv_shoup,
-        ctx.q[:k],
-    )
+    if _use_mxu_convert(alpha):
+        from gpufhe_tpu.ops.convert_pallas import digit_convert
+
+        p_part = digit_convert(x_coeff[k:], ksc.p2q_dc)
+    else:
+        p_part = _base_convert_shoup(
+            x_coeff[k:],
+            ctx.q[np.asarray(p_idx)],
+            ctx.qinv_neg[np.asarray(p_idx)],
+            ksc.p2q_qhatinv,
+            ksc.p2q_conv_plain,
+            ksc.p2q_conv_shoup,
+            ctx.q[:k],
+        )
     diff = sub_mod(x_coeff[:k], p_part, q_b)
     return mont_mul(diff, ksc.pinv_mont[:, None], q_b, qinv_b)
 

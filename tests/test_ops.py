@@ -242,3 +242,60 @@ def test_digit_convert_matches_base_convert():
     dc = make_digit_convert(src, dst, qhat_m)
     got = np.asarray(digit_convert(jnp.asarray(x), dc, interpret=True))
     assert (got == want).all()
+
+
+def test_ks_context_digit_tables_match_shoup():
+    """The KSContext MXU tables (modup_dc / p2q_dc, incl. the BGV t-folded
+    ModDown matrix) reproduce the Shoup path element-exact — the contract the
+    TPU dispatch in mod_up/mod_down (primitives/rns.py) relies on."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gpufhe_tpu.ops.context import make_context
+    from gpufhe_tpu.ops.convert_pallas import digit_convert
+    from gpufhe_tpu.params.params import preset
+    from gpufhe_tpu.primitives.rns import (
+        _base_convert_shoup,
+        ks_groups,
+        make_ks_context,
+    )
+
+    for t in (0, 786433):  # CKKS and BGV (t-folded p2q) variants
+        params = preset("tiny2")
+        if t:
+            params = dataclasses.replace(params, plain_modulus=t)
+        level = params.num_limbs
+        ctx = make_context(params)
+        ksc = make_ks_context(params, level)
+        alpha = len(params.p_primes)
+        qp_idx = np.asarray(
+            list(range(level))
+            + list(range(params.num_limbs, params.num_limbs + alpha))
+        )
+        n = params.n
+        x = np.stack([
+            RNG.integers(0, int(q), size=n, dtype=np.int64)
+            for q in params.q_primes + params.p_primes
+        ]).astype(np.uint32)
+        xj = jnp.asarray(x)
+        for g, (d0, d1) in enumerate(ks_groups(params, level)):
+            src_idx = np.arange(d0, d1)
+            want = np.asarray(_base_convert_shoup(
+                xj[d0:d1], ctx.q[src_idx], ctx.qinv_neg[src_idx],
+                ksc.modup_qhatinv[g], ksc.modup_conv_plain[g],
+                ksc.modup_conv_shoup[g], ctx.q[qp_idx],
+            ))
+            got = np.asarray(digit_convert(xj[d0:d1], ksc.modup_dc[g],
+                                           interpret=True))
+            assert (got == want).all(), f"modup group {g} t={t}"
+        p_rows = jnp.asarray(x[level:level + alpha])
+        p_idx = np.asarray(
+            list(range(params.num_limbs, params.num_limbs + alpha))
+        )
+        want = np.asarray(_base_convert_shoup(
+            p_rows, ctx.q[p_idx], ctx.qinv_neg[p_idx], ksc.p2q_qhatinv,
+            ksc.p2q_conv_plain, ksc.p2q_conv_shoup, ctx.q[:level],
+        ))
+        got = np.asarray(digit_convert(p_rows, ksc.p2q_dc, interpret=True))
+        assert (got == want).all(), f"p2q t={t}"
