@@ -41,7 +41,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="boot_ci_f",
-                    help="boot_ci_f (CI) or boot_mid (N=2^12 stress)")
+                    help="boot_ci_f (CI), boot_mid (N=2^12 stress) or "
+                         "boot_mid_dw (N=2^14 double-word — the largest "
+                         "ring the 8-virtual-CPU mesh tolerates)")
     ap.add_argument("--iters", type=int, default=1,
                     help="steady-state iterations to time after the first")
     ap.add_argument("--evalmod", default="cos",
@@ -49,18 +51,33 @@ def main():
                          "amplification — required beyond CI scale)")
     ap.add_argument("--k-bound", type=float, default=12.0,
                     help="ModRaise overflow bound; ~6*sqrt(h/12) is safe")
+    ap.add_argument("--radix-log", type=int, default=3,
+                    help="factored-transform radix (4 at N=2^14)")
     args = ap.parse_args()
 
     t0 = time.time()
     params = preset(args.preset)
     ctx = make_context(params)
-    rots = bootstrap_rotations(params, transform="factored", radix_log=3)
-    chest = dkeys.keygen(
-        params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
-    )
+    rots = bootstrap_rotations(params, transform="factored",
+                               radix_log=args.radix_log)
+    if params.n >= 2**12:
+        # golden keygen is recursive numpy (O(minutes-hours) at these rings);
+        # the device generator makes equally-valid keys in seconds and this
+        # script self-compares sharded vs single-chip, not vs golden
+        from gpufhe_tpu.keys.device_keygen import device_keygen
+
+        chest = device_keygen(
+            params, np.random.default_rng(7), rotations=tuple(rots),
+            conjugation=True,
+        )
+    else:
+        chest = dkeys.keygen(
+            params, np.random.default_rng(7), rotations=tuple(rots),
+            conjugation=True,
+        )
     mesh = sh.make_fhe_mesh(2, 4, devices=jax.devices()[:8])
     be = ShardedBackend(params, mesh, chest)
-    bs = Bootstrapper(be, transform="factored", radix_log=3,
+    bs = Bootstrapper(be, transform="factored", radix_log=args.radix_log,
                       evalmod=args.evalmod, k_bound=args.k_bound)
     print(f"# setup {time.time()-t0:.0f}s", flush=True)
 
@@ -68,7 +85,7 @@ def main():
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
     ct1 = dct.encrypt(
         encoder.encode(z, params), params, chest.device_pk, ctx,
-        np.random.default_rng(1), params.scale, level=1,
+        np.random.default_rng(1), params.scale, level=params.scale_words,
     )
     t0 = time.time()
     out = bs(be.from_single(ct1))
