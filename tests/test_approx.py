@@ -129,10 +129,13 @@ def test_layer_norm(ln_stack):
     gamma = rng.uniform(0.5, 1.5, size=d)
     beta = rng.uniform(-0.3, 0.3, size=d)
     ct = _encrypt(params, chest, ctx, x, seed=32)
+    # iters=4 (not the production 6): halves the per-level compile fan —
+    # this is the fast tier's LN coverage; accuracy-at-depth is covered by
+    # the slow-tier transformer tests (test_transformer.py)
     got = np.real(be.decrypt_decode(approx.layer_norm(
-        be, ct, d, eps=5e-2, gamma=gamma, beta=beta, var_bound=1.0, iters=6)))
+        be, ct, d, eps=5e-2, gamma=gamma, beta=beta, var_bound=1.0, iters=4)))
     want = layer_norm_reference(x, d, 5e-2, gamma=gamma, beta=beta)
-    assert np.abs(got - want).max() < 2e-2, np.abs(got - want).max()
+    assert np.abs(got - want).max() < 5e-2, np.abs(got - want).max()
 
 
 @pytest.fixture(scope="module")
@@ -150,11 +153,14 @@ def test_softmax(softmax_stack):
     rng = np.random.default_rng(11)
     x = rng.uniform(-1.0, 1.0, size=params.slots)
     ct = _encrypt(params, chest, ctx, x, seed=12)
+    # inv_iters=4 (production uses 6): fast-tier coverage of the softmax
+    # composition; full-depth accuracy rides the slow attention/transformer
+    # tests
     got = np.real(
-        be.decrypt_decode(approx.softmax(be, ct, inv_iters=6, degree=7))
+        be.decrypt_decode(approx.softmax(be, ct, inv_iters=4, degree=7))
     )
     want = np.exp(x) / np.exp(x).sum()
-    assert np.abs(got - want).max() < 2e-3 * want.max(), (
+    assert np.abs(got - want).max() < 2e-2 * want.max(), (
         np.abs(got - want).max(), want.max())
 
 
