@@ -174,10 +174,22 @@ class ShardedBackend:
         run, prepare = sh.make_sharded_mult(self.params, a.level, self.mesh)
         bundle = self._mult_bundle(a.level)
         c0, c1 = run(a.c[0], a.c[1], b.c[0], b.c[1], bundle)
-        return ShardedCiphertext(
-            [c0, c1], a.level - 1,
-            a.scale * b.scale / self.params.q_primes[a.level - 1],
-        )
+        # make_sharded_mult rescales ONCE ([K] -> [K-1]); at dw
+        # (scale_words=2) chain the remaining rescale like
+        # DeviceBackend.mul's fused double rescale — bit-identical (the
+        # NTT/iNTT round trip between chained rescales cancels exactly,
+        # ct.py _plain_mac_core note). The old single-word bookkeeping
+        # drifted the tracked scale 2^28x per dw mult -> inf -> NaN encodes
+        # (the boot_mid_dw sharded-bootstrap failure).
+        lvl = a.level - 1
+        scale = a.scale * b.scale / self.params.q_primes[a.level - 1]
+        cs = [c0, c1]
+        for _ in range(self.params.scale_words - 1):
+            f = self._rescale_fn(lvl)
+            cs = [f(c) for c in cs]
+            scale /= self.params.q_primes[lvl - 1]
+            lvl -= 1
+        return ShardedCiphertext(cs, lvl, scale)
 
     @functools.lru_cache(maxsize=None)
     def _mult_bundle(self, level):
@@ -224,11 +236,25 @@ class ShardedBackend:
         return lambda comp: jit_fn(comp, t_q, t_qm1, qlast_mod, qlast_inv)
 
     def rescale(self, ct):
-        f = self._rescale_fn(ct.level)
-        return ShardedCiphertext(
-            [f(c) for c in ct.c], ct.level - 1,
-            ct.scale / self.params.q_primes[ct.level - 1],
-        )
+        # scale_words chained single-limb rescales (DeviceBackend.rescale
+        # mirror — a dw rescale divides by the limb PAIR)
+        for _ in range(self.params.scale_words):
+            f = self._rescale_fn(ct.level)
+            ct = ShardedCiphertext(
+                [f(c) for c in ct.c], ct.level - 1,
+                ct.scale / self.params.q_primes[ct.level - 1],
+            )
+        return ct
+
+    def rescale_prod(self, level: int) -> float:
+        """Product of the primes a rescale from `level` divides by
+        (DeviceBackend.rescale_prod mirror — polyeval's scale steering
+        falls back to ONE prime without it, which is wrong for dw)."""
+        w = self.params.scale_words
+        out = 1.0
+        for i in range(w):
+            out *= self.params.q_primes[level - 1 - i]
+        return out
 
     def _rotation_run(self, level, steps):
         run, prepare = sh.make_sharded_rotation(self.params, level, self.mesh, steps)

@@ -274,6 +274,19 @@ def preset(name: str) -> CKKSParams:
             n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
             scale_bits=56, hamming_weight=16, scale_words=2,
         )
+    if name == "boot_dw_ci_enc":
+        # boot_dw_ci with sparse-secret ENCAPSULATION instead of a sparse
+        # base secret — the CI-scale mirror of the flagship/boot_mid_dw
+        # configuration (dw scale + eph ModRaise hops on ShardedBackend)
+        n = 2**7
+        two_n = 2 * n
+        q0 = gen_ntt_primes(30, two_n, 2)
+        pp = gen_ntt_primes(30, two_n, 4, skip=2)
+        qi = gen_ntt_primes(28, two_n, 22)
+        return CKKSParams(
+            n=n, q_primes=tuple(q0 + qi), p_primes=tuple(pp),
+            scale_bits=56, eph_hamming_weight=16, scale_words=2,
+        )
     if name == "config5_boot_dw":
         # double-word production bootstrap: N=2^16, Delta=2^56,
         # 2x30-bit base + 46 balanced 28-bit limbs (23 double levels);
@@ -334,7 +347,10 @@ def preset(name: str) -> CKKSParams:
         # production-scale BFV: N=2^16, L=30 (the integer-scheme counterpart
         # of the config5/bench CKKS chain). t = 786433 = 6*2^17 + 1 is the
         # classic 20-bit NTT prime (t = 1 mod 2N for N=2^16).
-        p = _mk(n=2**16, n_q=30, n_p=5, scale_bits=28)
+        # alpha=15/dnum=2 like config5_boot: the relinearization key-switch
+        # is the same hybrid-KS core, so the same decomposition retune
+        # applies (fewer ModUp NTTs; wide conversions ride the MXU kernel)
+        p = _mk(n=2**16, n_q=30, n_p=15, scale_bits=28)
         return dataclasses.replace(p, plain_modulus=786433)
     if name == "bfv_eq":
         # Fermat equality circuits (ciphertext/exact.py): t = 257 is prime

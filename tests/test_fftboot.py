@@ -163,13 +163,23 @@ def test_full_bootstrap_double_word_scale():
     assert params.scale_words == 2
     ctx = make_context(params)
     rots = bootstrap_rotations(params, transform="factored", radix_log=6)
-    chest = dkeys.keygen(
+    # the flagship configuration end to end: seeded device keygen, per-step
+    # key truncation, fused EvalMod, lean-key drop/regen cycling around the
+    # fused trace (scripts/bootstrap_n16_dw.py runs exactly this on chip)
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+    from gpufhe_tpu.keys.keys import truncate_galois_device
+
+    chest = device_keygen(
         params, np.random.default_rng(7), rotations=tuple(rots), conjugation=True
     )
     be = DeviceBackend(params, ctx, chest)
     bs = Bootstrapper(
-        be, transform="factored", radix_log=6, evalmod="cheb", k_bound=5.0
+        be, transform="factored", radix_log=6, evalmod="cheb", k_bound=5.0,
+        fuse_evalmod=True, lean_keys=True,
     )
+    assert bs._lean_pending
+    steps, conj_lvl = bs.galois_step_levels()
+    truncate_galois_device(chest, steps, conj_lvl, params)
     rng = np.random.default_rng(0)
     z = (rng.normal(size=params.slots) + 1j * rng.normal(size=params.slots)) * 0.2
     ct = dct.encrypt(
