@@ -66,14 +66,22 @@ class Bootstrapper:
 
     def __init__(self, be, r: int = 5, taylor_m: int = 4, transform: str = "dense",
                  radix_log: int = 3, evalmod: str = "cos", k_bound: float = 12.0,
-                 cheb_baby_log: int = 3, fuse_evalmod: bool | None = None):
+                 cheb_baby_log: int = 3, fuse_evalmod: bool | None = None,
+                 lean_keys: bool = False):
         """evalmod="cos": Taylor cos + r double-angle steps (amplifies input
         noise by 2^r — fine at CI scale). evalmod="cheb": direct Chebyshev
         sine evaluation (polyeval.py) — no noise amplification; the
         production choice. k_bound bounds |u|/q0 (the ModRaise overflow).
         fuse_evalmod: compile each whole Chebyshev evaluation into ONE XLA
         program (backend.FusedPipeline) — default on for DeviceBackend,
-        where the ~80-dispatch eval fan dominates EvalMod wall time."""
+        where the ~80-dispatch eval fan dominates EvalMod wall time.
+        lean_keys: drop every Galois key's `a` component (half the resident
+        chest, e.g. ~5 GiB of the N=2^16 dw flagship) around the fused
+        EvalMod's FIRST call — the trace+compile is what needs the headroom
+        on a 16 GB chip — then regenerate them on device from the recorded
+        seeds (keys/device_keygen.py regen_galois_a, bit-exact replay)
+        before SlotToCoeff runs. Steady-state calls keep everything
+        resident: zero recurring cost. Requires a seeded DeviceKeyChest."""
         self.be = be
         params: CKKSParams = be.params
         self.params = params
@@ -83,6 +91,11 @@ class Bootstrapper:
         self.evalmod = evalmod
         self.k_bound = k_bound
         self.cheb_baby_log = cheb_baby_log
+        chest = getattr(be, "chest", None)
+        self._lean_pending = bool(
+            lean_keys and hasattr(chest, "drop_galois_a")
+            and getattr(chest, "seeds", None)
+        )
         n = params.n
         slots = params.slots
         # composite base modulus for scale_words > 1 (double-word scale)
@@ -117,6 +130,14 @@ class Bootstrapper:
                 basis = FusedPipeline(be, ev._build_basis)
                 evalp = FusedPipeline(be, lambda t: ev._eval(ev.c, t))
 
+                def _live_gib():
+                    import jax as _jax
+
+                    try:
+                        return sum(a.nbytes for a in _jax.live_arrays()) / 2**30
+                    except Exception:
+                        return float("nan")
+
                 def _cheb_fused(y):
                     # The fused trace's eagerly-evaluated consts need HBM
                     # headroom the flagship chest (63 truncated Galois keys,
@@ -129,8 +150,13 @@ class Bootstrapper:
                     # traceback pins the aborted trace's device buffers, and
                     # the eager path needs them collected first.
                     fell_back = False
+                    print(f"# [fused-evalmod] live {_live_gib():.2f} GiB "
+                          f"before trace", flush=True)
                     try:
-                        return evalp(basis(y))
+                        out = evalp(basis(y))
+                        print(f"# [fused-evalmod] live {_live_gib():.2f} GiB "
+                              f"after fused call", flush=True)
+                        return out
                     except Exception as e:
                         if "RESOURCE_EXHAUSTED" not in repr(e):
                             raise
@@ -140,6 +166,8 @@ class Bootstrapper:
                     import gc
 
                     gc.collect()
+                    print(f"# [fused-evalmod] OOM -> eager fallback; live "
+                          f"{_live_gib():.2f} GiB after gc", flush=True)
                     return ev(y)
 
                 self._cheb = _cheb_fused
@@ -261,8 +289,23 @@ class Bootstrapper:
         if self.evalmod == "cheb":
             t0, t1 = self.f_cts(raised)
             mark("coeff_to_slot", t1)
+            if self._lean_pending:
+                # first call only: free the Galois `a` halves (the queued
+                # CtS programs keep their own buffer references) so the
+                # fused EvalMod trace+compile has the HBM headroom, then
+                # replay them from seeds before SlotToCoeff needs them
+                import jax as _jax
+
+                before = sum(a.nbytes for a in _jax.live_arrays()) / 2**30
+                n = be.chest.drop_galois_a()
+                after = sum(a.nbytes for a in _jax.live_arrays()) / 2**30
+                print(f"# [lean-keys] dropped {n} galois `a`: live "
+                      f"{before:.2f} -> {after:.2f} GiB", flush=True)
             y0 = self._cheb(t0)
             y1 = self._cheb(t1)
+            if self._lean_pending:
+                be.chest.regen_galois_a(be.ctx)
+                self._lean_pending = False
             mark("evalmod", y1)
             lvl = self.f_stc.first_lo.level  # ghost-planned == actual level
             out = self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))

@@ -52,11 +52,83 @@ class DeviceKeyChest:
     seeds: dict | None = None
 
     def galois_key(self, steps: int) -> DeviceKSKey:
-        return self.galois[steps][1]
+        key = self.galois[steps][1]
+        assert key.a_mont is not None, (
+            f"galois key {steps} has its `a` dropped (drop_galois_a) — call "
+            "regen_galois_a(ctx) before use")
+        return key
 
     def conj_key(self) -> DeviceKSKey:
         assert self.conj is not None
-        return self.conj[1]
+        key = self.conj[1]
+        assert key.a_mont is not None, "conj key `a` dropped — regen first"
+        return key
+
+    # -- lean-key cycling -----------------------------------------------------
+    # The Galois `a` components are uniform polynomials fully determined by
+    # the recorded PRNG seeds (regen_ks_a) — dropping them halves the chest's
+    # resident HBM (e.g. ~5 GiB of the N=2^16 dw flagship's 10.6 GiB), buying
+    # the headroom the fused EvalMod trace needs (ciphertext/bootstrap.py
+    # lean_keys), and regenerating is a device-side threefry replay that is
+    # BIT-EXACT with the original draws (test_seeded_device_keychest_roundtrip).
+
+    def drop_galois_a(self) -> int:
+        """Release every Galois (and conj) key's a_mont. Returns #dropped.
+        In-flight programs holding references keep their buffers alive —
+        only the chest's reference is released."""
+        n = 0
+        for steps, (g, key) in list(self.galois.items()):
+            if key.a_mont is not None:
+                self.galois[steps] = (g, DeviceKSKey(key.b_mont, None))
+                n += 1
+        if self.conj is not None and self.conj[1].a_mont is not None:
+            self.conj = (self.conj[0], DeviceKSKey(self.conj[1].b_mont, None))
+            n += 1
+        return n
+
+    def regen_galois_a(self, ctx: Context) -> int:
+        """Regenerate dropped a_mont components from the stored seeds,
+        truncated to each key's stored level (keys.truncate_galois_device
+        row selection — bit-identical to the original truncation)."""
+        alpha = len(self.params.p_primes)
+        full = self.params.num_limbs
+
+        regen = _regen_full_jit(self.params)  # ONE compiled program, reused
+
+        def _regen(key: DeviceKSKey, seed_name: str) -> DeviceKSKey:
+            a = regen(ctx, jnp.asarray(self.seeds[seed_name]))
+            stored_l = key.b_mont.shape[1] - alpha
+            if stored_l < full:
+                idx = np.concatenate(
+                    [np.arange(stored_l), np.arange(full, full + alpha)]
+                )
+                a = a[:, idx]  # eager row slice: 1 dispatch per key
+            return DeviceKSKey(key.b_mont, a)
+
+        n = 0
+        for steps, (g, key) in list(self.galois.items()):
+            if key.a_mont is None:
+                self.galois[steps] = (g, _regen(key, f"gk{steps}"))
+                n += 1
+        if self.conj is not None and self.conj[1].a_mont is None:
+            self.conj = (self.conj[0], _regen(self.conj[1], "conj"))
+            n += 1
+        return n
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _regen_full_jit(params: CKKSParams):
+    """Jitted full-chain KS-key `a` regeneration (lean-key cycling): one
+    compiled program per params, reused across all 63+ Galois keys."""
+    import jax
+
+    def fn(ctx, key_data):
+        return regen_ks_a(params, ctx, key_data)
+
+    return jax.jit(fn)
 
 
 def _consts(ctx: Context, idx: np.ndarray):

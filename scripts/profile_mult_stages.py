@@ -97,21 +97,26 @@ def _tie(xs, y):
     return (xs[0] ^ s,) + tuple(xs[1:])
 
 
-def timed_chain(name, f, args):
-    """Chained latency of f(*args): per-call seconds, read-synced
-    min-of-ITERS, with the empty-loop floor for the same carry subtracted."""
+def timed_chain(name, f, args, consts=()):
+    """Chained latency of f(*args, *consts): per-call seconds, read-synced
+    min-of-ITERS, with the empty-loop floor for the same carry subtracted.
+
+    `consts` (e.g. the relin key) enter as jit ARGUMENTS — loop-invariant,
+    outside the fori carry — never as closure constants: closed-over device
+    arrays lower as HLO literals and the dw relin key (~300 MB) blows the
+    tunneled remote-compile request cap (HTTP 413)."""
 
     @jax.jit
-    def prog(*xs):
+    def prog(xs, cs):
         def body(_, xs):
-            return _tie(xs, f(*xs))
+            return _tie(xs, f(*xs, *cs))
 
         return jax.lax.fori_loop(0, CHAIN, body, tuple(xs))
 
     shapes = tuple((x.shape, str(x.dtype)) for x in args)
 
     @jax.jit
-    def floor_prog(*xs):
+    def floor_prog(xs, cs):
         def body(_, xs):
             return _tie(xs, (xs[0],))
 
@@ -119,15 +124,15 @@ def timed_chain(name, f, args):
 
     def run(prog, args):
         t0 = time.time()
-        compiled = prog.lower(*args).compile()
+        compiled = prog.lower(tuple(args), tuple(consts)).compile()
         tc = time.time() - t0
-        out = compiled(*args)
+        out = compiled(tuple(args), tuple(consts))
         jax.block_until_ready(out)
         _ = np.asarray(out[0].reshape(-1)[:4])  # warm the read-sync program
         dts = []
         for _ in range(ITERS):
             t0 = time.time()
-            out = compiled(*out)
+            out = compiled(tuple(out), tuple(consts))
             _ = np.asarray(out[0].reshape(-1)[:4])
             dts.append((time.time() - t0) / CHAIN)
         return min(dts), tc
@@ -208,16 +213,18 @@ def f_modup(x):
 results["mod_up"] = timed_chain(f"mod_up[{dnum}x{k + alpha}]", f_modup, (x_k,))
 
 
-def f_mac(r_stack):
+def f_mac(r_stack, kb, ka):
     # the key-switch inner product alone: dnum digit polys (NTT domain, QP
-    # basis) x the 2-component gadget key, accumulated
+    # basis) x the 2-component gadget key, accumulated. The key rides as an
+    # ARGUMENT — closed-over device arrays lower as HLO literals, and the dw
+    # relin key (~300 MB) blows the tunneled remote-compile cap (HTTP 413)
     qq = ctx.q[np.asarray(qp_idx)][:, None]
     qqinv = ctx.qinv_neg[np.asarray(qp_idx)][:, None]
     acc0 = acc1 = None
     for d in range(dnum):
         r = r_stack[d]
-        t0 = mont_mul(r, key_rows(rlk.b_mont[d], params, k), qq, qqinv)
-        t1 = mont_mul(r, key_rows(rlk.a_mont[d], params, k), qq, qqinv)
+        t0 = mont_mul(r, key_rows(kb[d], params, k), qq, qqinv)
+        t1 = mont_mul(r, key_rows(ka[d], params, k), qq, qqinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qq)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qq)
     return acc0, acc1
@@ -228,7 +235,8 @@ r_stack = jnp.asarray(
         0, qp[None, :, None], size=(dnum, k + alpha, n), dtype=np.uint32
     )
 )
-results["ks_mac"] = timed_chain(f"ks_mac[{dnum}x{k + alpha}]", f_mac, (r_stack,))
+results["ks_mac"] = timed_chain(f"ks_mac[{dnum}x{k + alpha}]", f_mac,
+                                (r_stack,), consts=(rlk.b_mont, rlk.a_mont))
 
 
 def f_moddown(x):
@@ -252,18 +260,26 @@ results["rescale"] = timed_chain(f"rescale x{w}", f_rescale_chain, (x_k,))
 # -- 3. composite stages ------------------------------------------------------
 
 
-def f_ks(d2):
-    return key_switch_core(d2, params, k, ctx, ksc, rlk, eval_out=False)
+def f_ks(d2, kb, ka):
+    from gpufhe_tpu.keys.keys import DeviceKSKey
+
+    return key_switch_core(d2, params, k, ctx, ksc, DeviceKSKey(kb, ka),
+                           eval_out=False)
 
 
-results["key_switch"] = timed_chain("key_switch(eval_out=F)", f_ks, (x_k,))
+results["key_switch"] = timed_chain("key_switch(eval_out=F)", f_ks, (x_k,),
+                                    consts=(rlk.b_mont, rlk.a_mont))
 
 
-def f_mul(a0, a1, b0, b1):
-    return _mul_full_core((a0, a1), (b0, b1), ctx, kscs, rlk, params)
+def f_mul(a0, a1, b0, b1, kb, ka):
+    from gpufhe_tpu.keys.keys import DeviceKSKey
+
+    return _mul_full_core((a0, a1), (b0, b1), ctx, kscs, DeviceKSKey(kb, ka),
+                          params)
 
 
-results["mul_full"] = timed_chain("mul_full (fused)", f_mul, (a0, a1, b0, b1))
+results["mul_full"] = timed_chain("mul_full (fused)", f_mul, (a0, a1, b0, b1),
+                                  consts=(rlk.b_mont, rlk.a_mont))
 
 # -- attribution --------------------------------------------------------------
 # mul_full = tensor + [iNTT k] (d2, inside ks) + modup + dnum NTT qp + MAC
@@ -302,6 +318,11 @@ out = {
     "ntt_us_per_limb_transform": round(ntt_per_limb * 1e6, 2),
     "limb_transforms_per_mult": n_limb_tf,
     "ntt_fraction_of_mult": round(ntt_total / results["mul_full"], 4),
+    # sum of the measured stages = the mult's re-derived speed of light on
+    # THIS chip (each stage is its own chained one-jit measurement; the
+    # fused mult cannot beat their sum except via cross-stage overlap).
+    # bench.py reads this as the SoL denominator for vs_baseline.
+    "recon_ms": round(recon * 1e3, 4),
 }
 print(json.dumps(out), flush=True)
 with open(f"PROFILE_MULT_{PRESET}.json", "w") as f:
