@@ -49,17 +49,19 @@ def main():
     # encapsulation secret the overflow is a 32-step +-1/2 random walk
     # (sigma ~ 1.6), so 10 is ~6 sigma — tighter than the h=64-era 12, and
     # a shorter EvalMod Chebyshev ladder
-    # fuse_evalmod=False: the fused EvalMod trace needs HBM headroom the
-    # 63-key flagship chest does not leave on this 16 GB chip (measured:
-    # 10.7 GiB live before EvalMod; the trace RESOURCE_EXHAUSTs and the
-    # in-process eager retry inherits a fragmented allocator). The eager
-    # EvalMod is the configuration the 0.718 s / 8.5e-6 artifact was
-    # measured with. Set GPUFHE_FUSE_EVALMOD=1 to try the fusion (fits on
-    # chips with more HBM or smaller chests; auto-falls-back on OOM).
+    # fuse_evalmod + lean_keys: the fused EvalMod trace needs HBM headroom
+    # the 63-key flagship chest (10.7 GiB live) does not leave on a 16 GB
+    # chip by itself; lean_keys drops the Galois `a` halves (~5 GiB) around
+    # the first fused call and replays them from seeds before SlotToCoeff
+    # (keys/device_keygen.py regen_galois_a — bit-exact threefry replay).
+    # Steady state keeps everything resident. Auto-falls-back to the eager
+    # EvalMod (the 0.713 s round-2 configuration) on RESOURCE_EXHAUSTED.
+    # GPUFHE_FUSE_EVALMOD=0 forces the eager path.
     import os
-    fuse = os.environ.get("GPUFHE_FUSE_EVALMOD", "0") == "1"
+    fuse = os.environ.get("GPUFHE_FUSE_EVALMOD", "1") == "1"
     bs = Bootstrapper(be, transform="factored", radix_log=radix,
-                      evalmod="cheb", k_bound=10.0, fuse_evalmod=fuse)
+                      evalmod="cheb", k_bound=10.0, fuse_evalmod=fuse,
+                      lean_keys=fuse)
     print(f"# transform plans {time.time()-t0:.0f}s", flush=True)
 
     # shrink each Galois key to the level it is actually used at (bit-exact

@@ -144,6 +144,41 @@ def test_seeded_device_keychest_roundtrip(tmp_path):
     assert np.abs(got - z * z).max() < 1e-2
 
 
+def test_lean_key_drop_regen_cycle():
+    """drop_galois_a + regen_galois_a reproduces the original (truncated)
+    Galois keys bit-exactly — the lean-key contract the flagship bootstrap's
+    fused-EvalMod headroom relies on (ciphertext/bootstrap.py lean_keys)."""
+    from gpufhe_tpu.keys.device_keygen import device_keygen
+    from gpufhe_tpu.keys.keys import truncate_galois_device
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    chest = device_keygen(
+        params, np.random.default_rng(21), rotations=(1, 3), conjugation=True
+    )
+    # truncate one key so regen must reproduce the row selection too
+    truncate_galois_device(chest, {1: params.num_limbs - 1}, None, params)
+    want = {s: np.asarray(chest.galois[s][1].a_mont) for s in (1, 3)}
+    want_c = np.asarray(chest.conj[1].a_mont)
+
+    assert chest.drop_galois_a() == 3
+    assert chest.galois[1][1].a_mont is None
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        chest.galois_key(1)
+    assert chest.regen_galois_a(ctx) == 3
+    for s in (1, 3):
+        got = np.asarray(chest.galois_key(s).a_mont)
+        assert got.shape == want[s].shape
+        assert (got == want[s]).all(), f"step {s}"
+    assert (np.asarray(chest.conj_key().a_mont) == want_c).all()
+    # second drop/regen is idempotent
+    assert chest.drop_galois_a() == 3
+    assert chest.regen_galois_a(ctx) == 3
+    assert (np.asarray(chest.galois_key(1).a_mont) == want[1]).all()
+
+
 def test_device_keygen_functional():
     """Device-generated keys encrypt/decrypt/multiply/rotate correctly."""
     from gpufhe_tpu.keys.device_keygen import device_keygen
