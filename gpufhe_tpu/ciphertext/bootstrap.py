@@ -138,6 +138,22 @@ class Bootstrapper:
                     except Exception:
                         return float("nan")
 
+                def _live_top(n_top=6):
+                    import collections
+
+                    import jax as _jax
+
+                    try:
+                        groups = collections.Counter()
+                        for a in _jax.live_arrays():
+                            groups[(a.shape, str(a.dtype))] += a.nbytes
+                        return ", ".join(
+                            f"{b/2**30:.2f} {s}x{d}"
+                            for (s, d), b in groups.most_common(n_top)
+                        )
+                    except Exception:
+                        return "?"
+
                 def _cheb_fused(y):
                     # The fused trace's eagerly-evaluated consts need HBM
                     # headroom the flagship chest (63 truncated Galois keys,
@@ -166,8 +182,17 @@ class Bootstrapper:
                     import gc
 
                     gc.collect()
-                    print(f"# [fused-evalmod] OOM -> eager fallback; live "
-                          f"{_live_gib():.2f} GiB after gc", flush=True)
+                    print(f"# [fused-evalmod] OOM; live {_live_gib():.2f} GiB "
+                          f"after gc | top: {_live_top()}", flush=True)
+                    # release whatever the aborted/compiled pipelines pinned
+                    # (hoisted const tuples in their signature caches) before
+                    # the eager retry needs the HBM back
+                    basis._cache.clear()
+                    evalp._cache.clear()
+                    gc.collect()
+                    print(f"# [fused-evalmod] pipelines cleared; live "
+                          f"{_live_gib():.2f} GiB -> eager fallback",
+                          flush=True)
                     return ev(y)
 
                 self._cheb = _cheb_fused

@@ -53,6 +53,11 @@ def main():
                     help="ModRaise overflow bound; ~6*sqrt(h/12) is safe")
     ap.add_argument("--radix-log", type=int, default=3,
                     help="factored-transform radix (4 at N=2^14)")
+    ap.add_argument("--mesh", type=int, nargs=2, default=(2, 4),
+                    metavar=("LIMB", "COEFF"),
+                    help="mesh shape; 2 2 on 4-core boxes at N>=2^14 — 8 "
+                         "device threads on 4 cores can straggle past XLA's "
+                         "40 s CPU-collective rendezvous deadline")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -75,7 +80,9 @@ def main():
             params, np.random.default_rng(7), rotations=tuple(rots),
             conjugation=True,
         )
-    mesh = sh.make_fhe_mesh(2, 4, devices=jax.devices()[:8])
+    n_dev = args.mesh[0] * args.mesh[1]
+    mesh = sh.make_fhe_mesh(args.mesh[0], args.mesh[1],
+                            devices=jax.devices()[:n_dev])
     be = ShardedBackend(params, mesh, chest)
     bs = Bootstrapper(be, transform="factored", radix_log=args.radix_log,
                       evalmod=args.evalmod, k_bound=args.k_bound)
