@@ -111,16 +111,23 @@ class FusedPipeline:
             # vectors recur dozens of times (measured 3589 -> 193 consts) —
             # dedup collapses both the argument list and the HBM copies
             uniq, index, seen = [], [], {}
+            by_id = {}  # id(buffer) fast path: staged-gather consts are the
+            # SAME full table objects repeated thousands of times
+            # (ops/ntt.py _staged_rows) — hashing their bytes per occurrence
+            # would serialize GBs
             for c in closed.consts:
-                a = np.asarray(c)
-                # key on the actual bytes, not hash(bytes): a hash collision
-                # would silently substitute one key/plaintext for another in
-                # a bit-exact pipeline (bytes are already materialized)
-                k = (a.shape, a.dtype.str, a.tobytes())
-                i = seen.get(k)
+                i = by_id.get(id(c))
                 if i is None:
-                    i = seen[k] = len(uniq)
-                    uniq.append(c)
+                    a = np.asarray(c)
+                    # key on the actual bytes, not hash(bytes): a hash
+                    # collision would silently substitute one key/plaintext
+                    # for another in a bit-exact pipeline
+                    k = (a.shape, a.dtype.str, a.tobytes())
+                    i = seen.get(k)
+                    if i is None:
+                        i = seen[k] = len(uniq)
+                        uniq.append(c)
+                    by_id[id(c)] = i
                 index.append(i)
             idx = tuple(index)
             # keep only the jaxpr + the deduped consts: closing over

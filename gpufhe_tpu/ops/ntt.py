@@ -43,6 +43,33 @@ def _norm_limbs(limbs):
     return np.asarray(limbs, dtype=np.int32) if isinstance(limbs, list) else limbs
 
 
+def _staged_rows(arr, limbs):
+    """Per-limb row selection, STAGED even under jax.ensure_compile_time_eval.
+
+    FusedPipeline (ciphertext/backend.py) traces whole backend compositions
+    with eager constant folding ON; evaluating these gathers there
+    materializes a fresh per-level table slice PER OP CALL — the twiddle +
+    digit-matrix rows are ~1 MB/limb at N=2^16, and an EvalMod trace makes
+    hundreds of such calls, so the pre-dedup slices transiently pinned ~9 GiB
+    and OOMed the flagship's fused EvalMod on a 16 GB chip. Staged, the FULL
+    context table enters the jaxpr once (consts dedup by buffer bytes) and
+    the row gather compiles into the program (~2 MB/limb-transform of extra
+    HBM traffic per fused call — micro vs the residency). Same pattern as
+    primitives/keyswitch.py key_rows. No-op semantics change: identical
+    values, and under ordinary jit the operands are tracers so gathers were
+    staged anyway."""
+    try:
+        from jax._src import config as _cfg
+
+        ctxmgr = _cfg.eager_constant_folding(False)
+    except Exception:  # pragma: no cover - future jax refactor
+        import contextlib
+
+        ctxmgr = contextlib.nullcontext()
+    with ctxmgr:
+        return arr[limbs]
+
+
 import os
 
 
@@ -177,11 +204,12 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n1, n2)
-    q = ctx.q[limbs][:, None, None]
-    qinv = ctx.qinv_neg[limbs][:, None, None]
-    dm = ctx.digit_mont[limbs]
-    dp, ds = ctx.digit_plain[limbs], ctx.digit_shoup[limbs]
-    tables = NTTTables(*(t[limbs] for t in ctx.ntt_fwd))
+    q = _staged_rows(ctx.q, limbs)[:, None, None]
+    qinv = _staged_rows(ctx.qinv_neg, limbs)[:, None, None]
+    dm = _staged_rows(ctx.digit_mont, limbs)
+    dp = _staged_rows(ctx.digit_plain, limbs)
+    ds = _staged_rows(ctx.digit_shoup, limbs)
+    tables = NTTTables(*(_staged_rows(t, limbs) for t in ctx.ntt_fwd))
     if lead:
         flat = x_mat.reshape(-1, L, n1, n2)
         out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)
@@ -195,11 +223,12 @@ def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n2, n1)  # input natural order k = k2*n1 + k1
-    q = ctx.q[limbs][:, None, None]
-    qinv = ctx.qinv_neg[limbs][:, None, None]
-    dm = ctx.digit_mont[limbs]
-    dp, ds = ctx.digit_plain[limbs], ctx.digit_shoup[limbs]
-    tables = NTTTables(*(t[limbs] for t in ctx.ntt_inv))
+    q = _staged_rows(ctx.q, limbs)[:, None, None]
+    qinv = _staged_rows(ctx.qinv_neg, limbs)[:, None, None]
+    dm = _staged_rows(ctx.digit_mont, limbs)
+    dp = _staged_rows(ctx.digit_plain, limbs)
+    ds = _staged_rows(ctx.digit_shoup, limbs)
+    tables = NTTTables(*(_staged_rows(t, limbs) for t in ctx.ntt_inv))
     if lead:
         flat = x_mat.reshape(-1, L, n2, n1)
         out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)
