@@ -322,6 +322,19 @@ def main():
             "source": "BOOT_N16_DW.json (scripts/bootstrap_n16_dw.py)",
         }), flush=True)
 
+    # NTT throughput (BASELINE.json's metric string names "NTT polys/s";
+    # produced on this chip by scripts/ntt_bench.py, same chain methodology)
+    ntt_art = pathlib.Path(__file__).resolve().parent / "NTT_N16.json"
+    if ntt_art.exists():
+        b = json.loads(ntt_art.read_text())
+        print(json.dumps({
+            "metric": b["metric"],
+            "value": b["value"],
+            "unit": b["unit"],
+            "us_per_limb_transform": b.get("us_per_limb_transform"),
+            "source": "NTT_N16.json (scripts/ntt_bench.py)",
+        }), flush=True)
+
     # exact-scheme headline: production BFV mult (produced on this chip by
     # scripts/bfv_n16_mult.py, same genuine-chain methodology)
     bfv_art = pathlib.Path(__file__).resolve().parent / "BFV_N16.json"

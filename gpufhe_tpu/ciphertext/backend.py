@@ -182,6 +182,15 @@ class DeviceBackend:
                     np.complex128(key[0]), (self.params.slots,)
                 )
                 hit = self._encode_uncached(zz, scale, level)
+                # a cached TRACER poisons every later trace (CLAUDE.md:
+                # lazily-populated host caches) — encode inputs are host
+                # data, so the result must be concrete even mid-trace
+                import jax
+
+                assert not isinstance(hit[0], jax.core.Tracer), (
+                    "encode produced a tracer under an active trace; "
+                    "refusing to cache it (ops/ntt.py _staged_rows gate)"
+                )
                 self._const_cache[key] = hit
             return hit
         return self._encode_uncached(z, scale, level)

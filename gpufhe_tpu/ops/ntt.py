@@ -43,8 +43,8 @@ def _norm_limbs(limbs):
     return np.asarray(limbs, dtype=np.int32) if isinstance(limbs, list) else limbs
 
 
-def _staged_rows(arr, limbs):
-    """Per-limb row selection, STAGED even under jax.ensure_compile_time_eval.
+def _staged_rows(arr, limbs, stage: bool):
+    """Per-limb row selection, optionally STAGED under ensure_compile_time_eval.
 
     FusedPipeline (ciphertext/backend.py) traces whole backend compositions
     with eager constant folding ON; evaluating these gathers there
@@ -57,7 +57,16 @@ def _staged_rows(arr, limbs):
     HBM traffic per fused call — micro vs the residency). Same pattern as
     primitives/keyswitch.py key_rows. No-op semantics change: identical
     values, and under ordinary jit the operands are tracers so gathers were
-    staged anyway."""
+    staged anyway.
+
+    `stage` must be True exactly when the transform's DATA input is a tracer.
+    A concrete transform (host encodes run under a fused trace) must stay
+    eager: forcing it staged turns the whole concrete subcomputation into
+    tracers, and any lazy host cache that stores the result (DeviceBackend
+    encode cache) then poisons every later trace with a leaked tracer
+    (tests/test_fftboot.py::test_fused_pipeline_smoke_tiny)."""
+    if not stage:
+        return arr[limbs]
     try:
         from jax._src import config as _cfg
 
@@ -204,12 +213,13 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n1, n2)
-    q = _staged_rows(ctx.q, limbs)[:, None, None]
-    qinv = _staged_rows(ctx.qinv_neg, limbs)[:, None, None]
-    dm = _staged_rows(ctx.digit_mont, limbs)
-    dp = _staged_rows(ctx.digit_plain, limbs)
-    ds = _staged_rows(ctx.digit_shoup, limbs)
-    tables = NTTTables(*(_staged_rows(t, limbs) for t in ctx.ntt_fwd))
+    stage = isinstance(x, jax.core.Tracer)
+    q = _staged_rows(ctx.q, limbs, stage)[:, None, None]
+    qinv = _staged_rows(ctx.qinv_neg, limbs, stage)[:, None, None]
+    dm = _staged_rows(ctx.digit_mont, limbs, stage)
+    dp = _staged_rows(ctx.digit_plain, limbs, stage)
+    ds = _staged_rows(ctx.digit_shoup, limbs, stage)
+    tables = NTTTables(*(_staged_rows(t, limbs, stage) for t in ctx.ntt_fwd))
     if lead:
         flat = x_mat.reshape(-1, L, n1, n2)
         out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)
@@ -223,12 +233,13 @@ def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n2, n1)  # input natural order k = k2*n1 + k1
-    q = _staged_rows(ctx.q, limbs)[:, None, None]
-    qinv = _staged_rows(ctx.qinv_neg, limbs)[:, None, None]
-    dm = _staged_rows(ctx.digit_mont, limbs)
-    dp = _staged_rows(ctx.digit_plain, limbs)
-    ds = _staged_rows(ctx.digit_shoup, limbs)
-    tables = NTTTables(*(_staged_rows(t, limbs) for t in ctx.ntt_inv))
+    stage = isinstance(x, jax.core.Tracer)
+    q = _staged_rows(ctx.q, limbs, stage)[:, None, None]
+    qinv = _staged_rows(ctx.qinv_neg, limbs, stage)[:, None, None]
+    dm = _staged_rows(ctx.digit_mont, limbs, stage)
+    dp = _staged_rows(ctx.digit_plain, limbs, stage)
+    ds = _staged_rows(ctx.digit_shoup, limbs, stage)
+    tables = NTTTables(*(_staged_rows(t, limbs, stage) for t in ctx.ntt_inv))
     if lead:
         flat = x_mat.reshape(-1, L, n2, n1)
         out = jax.vmap(lambda m: _fourstep(m, tables, q, qinv, dm, dp, ds))(flat)

@@ -104,3 +104,24 @@ print(f"# pass {t_pass * 1e3:.2f} ms - floor {t_floor * 1e3:.2f} ms "
 print(f"# {kern}: {dt * 1e3:.3f} ms / {k}-limb transform = "
       f"{per_limb * 1e6:.2f} us/limb-transform; streamed-traffic BW "
       f"{bw / 1e9:.0f} GB/s vs 819 peak", flush=True)
+
+# artifact for bench.py's echo: BASELINE.json's metric string names
+# "NTT polys/s" — one poly = one full-RNS [k, N] negacyclic transform
+import json
+import pathlib
+
+result = {
+    "metric": f"ntt_fwd_polys_N{n}_L{k}",
+    "value": round(1.0 / dt, 1),
+    "unit": "polys/s/chip",
+    "us_per_limb_transform": round(per_limb * 1e6, 2),
+    "limb_transforms_per_s": round(k / dt),
+    "kernel": kern,
+    "chain": CHAIN,
+    "streamed_bw_gbps": round(bw / 1e9),
+}
+print(json.dumps(result), flush=True)
+if kern == "v2" and k == params.num_limbs:
+    (pathlib.Path(__file__).resolve().parents[1] / "NTT_N16.json").write_text(
+        json.dumps(result) + "\n"
+    )
