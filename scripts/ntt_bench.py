@@ -35,7 +35,10 @@ from gpufhe_tpu.params.params import make_context, preset
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
 PRESET = os.environ.get("PRESET", "config5_boot")
-CHAIN = int(os.environ.get("CHAIN", "32"))
+CHAIN = int(os.environ.get("CHAIN", "256"))  # must push the pass WELL above
+# the ~30 ms tunnel dispatch+read floor: at chain=32 the ~5 ms of kernel work
+# disappeared inside the floor's run-to-run noise and the subtraction went
+# NEGATIVE — the floor-dominated regime is meaningless for this bench
 params = preset(PRESET)
 ctx = make_context(params)
 k = int(os.environ.get("LIMBS", str(params.num_limbs)))
@@ -121,7 +124,10 @@ result = {
     "streamed_bw_gbps": round(bw / 1e9),
 }
 print(json.dumps(result), flush=True)
-if kern == "v2" and k == params.num_limbs:
+if t_pass - t_floor < 0.5 * t_floor:
+    print("# REFUSING artifact: pass is floor-dominated (raise CHAIN)",
+          flush=True)
+elif kern == "v2" and k == params.num_limbs:
     (pathlib.Path(__file__).resolve().parents[1] / "NTT_N16.json").write_text(
         json.dumps(result) + "\n"
     )
