@@ -32,6 +32,20 @@ def mlp_rotations(slots: int) -> list[int]:
     return bsgs_rotations(slots)
 
 
+def mlp_rotations_for(layers, slots: int) -> list[int]:
+    """The EXACT rotation steps a specific layer stack uses (linalg
+    bsgs_steps over each embedded weight): corner-embedded layers keep only
+    ~(in+out)/G of the giants, and every dropped step is a Galois key the
+    chest never holds — at N=2^15 the dense set is 254 keys (~4 GB), an
+    MNIST-shaped stack ~140."""
+    from gpufhe_tpu.ciphertext.linalg import bsgs_steps
+
+    steps: set[int] = set()
+    for w, _ in layers:
+        steps.update(bsgs_steps(_embed(np.asarray(w), slots)))
+    return sorted(steps)
+
+
 def _embed(w: np.ndarray, slots: int) -> np.ndarray:
     """Zero-pad an (out_dim, in_dim) weight block into a slots x slots map."""
     out_d, in_d = w.shape

@@ -72,6 +72,22 @@ def test_encrypted_mlp_inference():
     tail = np.abs(be.decrypt_decode(model(ct))[d_out : d_out + 8])
     assert tail.max() < 1e-2
 
+    # whole-model fusion (scripts/mlp_n15.py production path): the fused
+    # forward is the SAME jitted cores in the same order, so its limbs must
+    # equal the eager forward's limbs exactly
+    from gpufhe_tpu.ciphertext.backend import FusedPipeline
+
+    out_eager = model(ct)
+    out_fused = FusedPipeline(be, model)(ct)
+    assert out_fused.level == out_eager.level
+    assert out_fused.scale == out_eager.scale
+    for a, b in zip(out_fused.c, out_eager.c):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    # and the caches the trace populated stay concrete (no leaked tracers):
+    # a later eager call must still work
+    again = np.real(be.decrypt_decode(model(ct))[:d_out])
+    assert np.abs(again - want).max() < 1e-2
+
 
 def test_keychest_and_ciphertext_serialization(tmp_path):
     params = preset("tiny2")
