@@ -184,13 +184,16 @@ class DeviceBackend:
                 hit = self._encode_uncached(zz, scale, level)
                 # a cached TRACER poisons every later trace (CLAUDE.md:
                 # lazily-populated host caches) — encode inputs are host
-                # data, so the result must be concrete even mid-trace
+                # data, so the result must be concrete even mid-trace.
+                # Explicit raise (not assert): python -O must not silently
+                # reintroduce the poisoning.
                 import jax
 
-                assert not isinstance(hit[0], jax.core.Tracer), (
-                    "encode produced a tracer under an active trace; "
-                    "refusing to cache it (ops/ntt.py _staged_rows gate)"
-                )
+                if isinstance(hit[0], jax.core.Tracer):
+                    raise RuntimeError(
+                        "encode produced a tracer under an active trace; "
+                        "refusing to cache it (ops/ntt.py _staged_rows gate)"
+                    )
                 self._const_cache[key] = hit
             return hit
         return self._encode_uncached(z, scale, level)

@@ -29,37 +29,54 @@ def bsgs_rotations(slots: int) -> list[int]:
     return sorted(set(babies + giants))
 
 
-def bsgs_steps(a: np.ndarray, b: np.ndarray | None = None) -> list[int]:
-    """EXACTLY the rotation steps BsgsPlan(a, b).apply will use.
+def nonzero_diags(m: np.ndarray) -> set[int]:
+    """The set of r with diag_r(m) not identically zero.
 
-    Mirrors the plan's nonzero-diagonal pruning: babies are the bi with a
-    nonzero diagonal in ANY giant group, giants the gi*G with any nonzero
-    diagonal. For block-structured matrices (models/: corner- or
-    block-diagonal-embedded layers) this is FAR smaller than the dense
-    bsgs_rotations set — an MNIST layer (784 in) keeps ~8 of 127 giants, and
-    every dropped step is a Galois key (2 * dnum * (k+alpha) * N * 4 bytes
-    of HBM) the chest never has to hold."""
-    n_s = a.shape[0]
-    assert a.shape == (n_s, n_s)
+    Entry (i, j) lies on diagonal r = (j - i) mod n, so this is one
+    np.nonzero over the matrix — no per-diagonal gathers."""
+    i, j = np.nonzero(m)
+    return set(((j - i) % m.shape[0]).tolist())
+
+
+def bsgs_steps_from_diags(diags: set[int], n_s: int) -> list[int]:
+    """Rotation steps BsgsPlan.apply uses, from the nonzero-diagonal set.
+
+    Mirrors the plan's pruning exactly (tests/test_models.py asserts the
+    equivalence against BsgsPlan.pt): babies are the bi with a nonzero
+    diagonal in ANY giant group, giants the gi*G with any nonzero
+    diagonal."""
     g = max(1, math.isqrt(n_s))
-    mats = (a,) if b is None else (a, b)
     babies: set[int] = set()
     giants: set[int] = set()
-    j = np.arange(n_s)
     for gi in range(math.ceil(n_s / g)):
         any_nz = False
         for bi in range(g):
             r = gi * g + bi
             if r >= n_s:
                 break
-            for mat in mats:
-                if np.abs(_diag(mat, r)).max() != 0.0:
-                    any_nz = True
-                    if bi:
-                        babies.add(bi)
+            if r in diags:
+                any_nz = True
+                if bi:
+                    babies.add(bi)
         if any_nz and gi:
             giants.add(gi * g)
     return sorted(babies | giants)
+
+
+def bsgs_steps(a: np.ndarray, b: np.ndarray | None = None) -> list[int]:
+    """EXACTLY the rotation steps BsgsPlan(a, b).apply will use.
+
+    For block-structured matrices (models/: corner- or block-diagonal-
+    embedded layers) this is FAR smaller than the dense bsgs_rotations set —
+    an MNIST layer (784 in) keeps ~8 of 127 giants, and every dropped step
+    is a Galois key (2 * dnum * (k+alpha) * N * 4 bytes of HBM) the chest
+    never has to hold."""
+    n_s = a.shape[0]
+    assert a.shape == (n_s, n_s)
+    diags = nonzero_diags(a)
+    if b is not None:
+        diags |= nonzero_diags(b)
+    return bsgs_steps_from_diags(diags, n_s)
 
 
 def pow2_rotations(slots: int) -> list[int]:

@@ -38,11 +38,17 @@ def mlp_rotations_for(layers, slots: int) -> list[int]:
     ~(in+out)/G of the giants, and every dropped step is a Galois key the
     chest never holds — at N=2^15 the dense set is 254 keys (~4 GB), an
     MNIST-shaped stack ~140."""
-    from gpufhe_tpu.ciphertext.linalg import bsgs_steps
+    from gpufhe_tpu.ciphertext.linalg import bsgs_steps_from_diags
 
     steps: set[int] = set()
     for w, _ in layers:
-        steps.update(bsgs_steps(_embed(np.asarray(w), slots)))
+        # nonzero diagonals of the corner embedding, straight from the
+        # (out, in) block — never materializes the dense slots x slots map
+        # (4.3 GB of host RAM per layer at N=2^15)
+        w = np.asarray(w)
+        i, j = np.nonzero(w)
+        diags = set(((j - i) % slots).tolist())
+        steps.update(bsgs_steps_from_diags(diags, slots))
     return sorted(steps)
 
 

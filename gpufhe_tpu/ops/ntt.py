@@ -194,6 +194,10 @@ def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont,
             q[:, 0, 0],
             digit_plain,
             digit_shoup,
+            # round-4 approximate-mulhi Shoup recombine (bit-exact, ~35%
+            # fewer VPU ops); GPUFHE_NTT_RECOMBINE=shoup restores the v2
+            # exact-mulhi path for A/B
+            approx=os.environ.get("GPUFHE_NTT_RECOMBINE", "approx") != "shoup",
         )
     s1 = _digit_dot_left(tables.wl_digits, _to_digits(x_mat))
     a_mat = _recombine(s1, digit_mont, q, qinv_neg)

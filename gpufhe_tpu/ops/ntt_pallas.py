@@ -137,6 +137,49 @@ def _lazy_sub(s, two_q):
     return jnp.where(s >= two_q, s - two_q, s)
 
 
+def _shoup_approx(a, w, b0, b1, q):
+    """a * w mod q in [0, 4q) for ANY uint32 a; q < 2^30 (v3 recombine).
+
+    Same contract as _shoup but with the quotient estimated from only the
+    three high 16x16 partial products of a * w_shoup (b0/b1 = the 16-bit
+    halves of w_shoup, precomputed by the caller — free when w_shoup is a
+    per-limb scalar). Dropping the low product and the cross-term carries
+    underestimates the exact mulhi by at most 2, on top of Shoup's own
+    deficit of 1, so r = a*w - quot*q lies in [0, 4q); 4q < 2^32 is
+    guaranteed by the < 2^30 prime discipline (ops/context.py _digits_i8),
+    so the uint32 wraparound of every product is exact. 12 VPU ops vs
+    _shoup's ~22 — this is the difference that took the recombine off the
+    kernel's critical path (round 4)."""
+    a0 = a & np.uint32(0xFFFF)
+    a1 = a >> np.uint32(16)
+    quot = a1 * b1 + ((a0 * b1) >> np.uint32(16)) + ((a1 * b0) >> np.uint32(16))
+    return a * w - quot * q
+
+
+def _recombine_taps_approx(taps, corr, dmp, dms, q, col: bool):
+    """v3 recombine: approx-Shoup taps, t=0 multiplier-free. Result [0, 2q).
+
+    The t=0 constant is 2^0 = 1, and u_0 = taps_0 + corr_0 is already in
+    [0, q + 2^23) subset [0, 2q) (single digit-pair block, |tap| <= 2^22,
+    corr = 128*rowsum + q), so it is its own representative — no multiply.
+    Every other tap uses _shoup_approx ([0, 4q)) plus one conditional
+    subtract back to [0, 2q) before the lazy accumulation. Bit-exact with
+    _recombine_taps: intermediate representatives differ but every term is
+    congruent mod q and the caller canonicalizes."""
+    two_q = q + q
+    s = None
+    for t in range(7):
+        u = taps[t].astype(jnp.uint32) + (corr[t][None, :] if col else corr[t][:, None])
+        if t == 0:
+            c = u
+        else:
+            b0 = dms[t] & np.uint32(0xFFFF)
+            b1 = dms[t] >> np.uint32(16)
+            c = _lazy_sub(_shoup_approx(u, dmp[t], b0, b1, q), two_q)
+        s = c if s is None else _lazy_sub(s + c, two_q)
+    return s
+
+
 def _offset_digits_cat(x, axis: int):
     """u32[a, b] -> i8 offset digits, concatenated along `axis`.
 
@@ -167,10 +210,12 @@ def _recombine_taps(taps, corr, dmp, dms, q, col: bool):
 
 
 def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
-                      twsh_ref, wr_ref, cl_ref, cr_ref, o_ref):
+                      twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
+                      approx: bool = False):
     q = q_ref[li]
     dmp = [dmp_ref[li, t] for t in range(7)]
     dms = [dms_ref[li, t] for t in range(7)]
+    recombine = _recombine_taps_approx if approx else _recombine_taps
     x = x_ref[i]  # u32[a, b]
     a = x.shape[0]
     b = x.shape[1]
@@ -190,10 +235,16 @@ def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
             blk = s_e[:, d * b:(d + 1) * b]
             taps[t] = blk if taps[t] is None else taps[t] + blk
     cl = [cl_ref[i, t] for t in range(7)]
-    a_mat = _recombine_taps(taps, cl, dmp, dms, q, col=False)  # [0, 2q)
+    a_mat = recombine(taps, cl, dmp, dms, q, col=False)  # [0, 2q)
 
-    # twiddle (elementwise Shoup; [0, 2q) input is fine for offset digits)
-    b_mat = _shoup(a_mat, tw_ref[i], twsh_ref[i], q)
+    # twiddle (elementwise Shoup; any-u32 input is fine for offset digits,
+    # and the approx variant's [0, 4q) output is too)
+    if approx:
+        tws = twsh_ref[i]
+        b_mat = _shoup_approx(a_mat, tw_ref[i], tws & np.uint32(0xFFFF),
+                              tws >> np.uint32(16), q)
+    else:
+        b_mat = _shoup(a_mat, tw_ref[i], twsh_ref[i], q)
 
     # stage 2: C = B @ WR mod q, digit planes contracted against the
     # column-concatenated WR (b, 4b)
@@ -211,12 +262,12 @@ def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
             blk = s_d[:, e * b:(e + 1) * b]
             taps2[t] = blk if taps2[t] is None else taps2[t] + blk
     cr = [cr_ref[i, t] for t in range(7)]
-    c_mat = _recombine_taps(taps2, cr, dmp, dms, q, col=True)
+    c_mat = recombine(taps2, cr, dmp, dms, q, col=True)
     c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)  # canonical [0, q)
     o_ref[i] = c_mat.T
 
 
-def _make_fourstep_kernel_v2(interleave: int):
+def _make_fourstep_kernel_v2(interleave: int, approx: bool = False):
     """interleave > 1 runs that many limbs per grid step: their dot/recombine
     chains are independent, so the VLIW scheduler can overlap one limb's MXU
     dots with another's VPU recombine."""
@@ -227,13 +278,13 @@ def _make_fourstep_kernel_v2(interleave: int):
         for i in range(interleave):
             _fourstep_body_v2(
                 i, g * interleave + i, q_ref, dmp_ref, dms_ref, x_ref, wl_ref,
-                tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
+                tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref, approx=approx,
             )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "approx"))
 def fourstep_pallas_v2(
     x: jnp.ndarray,
     wl_cat: jnp.ndarray,
@@ -246,11 +297,14 @@ def fourstep_pallas_v2(
     digit_plain: jnp.ndarray,
     digit_shoup: jnp.ndarray,
     interpret: bool = False,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Fused four-step core v2: one stacked digit dot per W plane, offset
     (carry-free) runtime digits, Shoup tap/twiddle reduction with lazy
     [0, 2q) intermediates. Bit-exact with ops/ntt.py's jnp formulation
-    (canonical output; tests/test_ops.py)."""
+    (canonical output; tests/test_ops.py). approx=True swaps in the
+    round-4 approximate-mulhi recombine (_shoup_approx) — same output
+    bits, ~35% fewer elementwise VPU ops."""
     L, a, b = x.shape
     # measured on chip at N=2^16 L=30: interleave 1/2/3 = 5.76/5.94/6.04 us
     # per limb-transform — cross-limb ILP does not help Mosaic here
@@ -261,7 +315,7 @@ def fourstep_pallas_v2(
     sm = pltpu.SMEM
     with _staged_kernel_trace():
         return pl.pallas_call(
-            _make_fourstep_kernel_v2(il),
+            _make_fourstep_kernel_v2(il, approx=approx),
             grid=(L // il,),
             in_specs=[
                 pl.BlockSpec(memory_space=sm),  # q [L]

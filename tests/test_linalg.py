@@ -64,3 +64,40 @@ def test_ct_matmul_chained(stack):
     got = np.real(be.decrypt_decode(abc))[: D * D].reshape(D, D)
     want = a @ b @ c
     assert np.abs(got - want).max() < 5e-3, np.abs(got - want).max()
+
+
+def test_bsgs_steps_matches_plan_keys():
+    """bsgs_steps(a, b) promises to be EXACTLY the rotation steps
+    BsgsPlan.apply uses; assert that against the plan's .pt key set so any
+    future drift in the plan's pruning fails here, not as a missing Galois
+    key after minutes of on-chip keygen (ADVICE r3)."""
+    import math
+
+    from gpufhe_tpu.ciphertext.backend import GoldenBackend
+    from gpufhe_tpu.ciphertext.linalg import BsgsPlan, bsgs_steps
+
+    params = preset("tiny2")
+    chest = dkeys.keygen(params, np.random.default_rng(3))
+    be = GoldenBackend(params, chest)
+    n_s = params.slots
+    rng = np.random.default_rng(11)
+
+    def block(out_d, in_d):
+        m = np.zeros((n_s, n_s), dtype=np.complex128)
+        m[:out_d, :in_d] = rng.normal(size=(out_d, in_d))
+        return m
+
+    cases = [
+        (block(3, n_s // 2), None),                 # corner block
+        (block(n_s // 4, 5), block(2, 2)),          # block + conj part
+        (np.diag(rng.normal(size=n_s)).astype(np.complex128), None),
+        (np.zeros((n_s, n_s), dtype=np.complex128), None),  # empty
+        (rng.normal(size=(n_s, n_s)) + 0j, None),   # dense
+    ]
+    g = max(1, math.isqrt(n_s))
+    level = params.num_limbs
+    for a, b in cases:
+        plan = BsgsPlan(be, a, b, level)
+        babies = {bi for (_, bi, _) in plan.pt} - {0}
+        giants = {gi * g for (gi, _, _) in plan.pt if gi}
+        assert bsgs_steps(a, b) == sorted(babies | giants)

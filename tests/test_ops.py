@@ -31,6 +31,34 @@ def test_mulhi32_exact():
     assert (got.astype(np.uint64) == want).all()
 
 
+def test_shoup_approx_range_and_congruence():
+    """_shoup_approx (ops/ntt_pallas.py): for ANY uint32 a and q just under
+    2^30, the result is congruent to a*w mod q and lies in [0, 4q) — the
+    bound the v3 recombine's conditional subtract budget is sized for."""
+    from gpufhe_tpu.ops.ntt_pallas import _shoup_approx
+
+    for q in (1073741789, (1 << 30) - 35, (1 << 27) + 29, 2013265921 >> 1):
+        # adversarial a: extremes + random; w: extremes + random
+        a = np.concatenate([
+            np.array([0, 1, q - 1, q, 2 * q - 1, (1 << 32) - 1], dtype=np.uint64),
+            RNG.integers(0, 1 << 32, size=2048, dtype=np.uint64),
+        ])
+        w = np.concatenate([
+            np.array([1, 2, q - 1, q // 2, 3, (1 << 25) % q], dtype=np.uint64),
+            RNG.integers(0, q, size=2048, dtype=np.uint64),
+        ])
+        wsh = (w << np.uint64(32)) // np.uint64(q)
+        got = np.asarray(
+            _shoup_approx(
+                _u32(a), _u32(w),
+                _u32(wsh & np.uint64(0xFFFF)), _u32(wsh >> np.uint64(16)),
+                jnp.uint32(q),
+            )
+        ).astype(np.uint64)
+        assert (got < 4 * q).all(), f"range violated for q={q}"
+        assert ((got % q) == ((a * w) % q)).all(), f"congruence broken for q={q}"
+
+
 def test_add_sub_neg_mod_vs_golden():
     a = RNG.integers(0, Q, size=4096, dtype=np.int64)
     b = RNG.integers(0, Q, size=4096, dtype=np.int64)
@@ -173,7 +201,8 @@ def test_pallas_kernel_matches_xla_path():
 
 
 @pytest.mark.parametrize("direction", ["fwd", "inv"])
-def test_pallas_v2_kernel_matches_xla_path(direction):
+@pytest.mark.parametrize("approx", [False, True])
+def test_pallas_v2_kernel_matches_xla_path(direction, approx):
     """Fused Pallas four-step v2 (stacked dots + offset digits + Shoup
     recombine; interpret mode on CPU) vs the jnp path, both directions."""
     from gpufhe_tpu.ops.context import fourstep_split
@@ -200,6 +229,7 @@ def test_pallas_v2_kernel_matches_xla_path(direction):
         fourstep_pallas_v2(
             xm, t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l, t.corr_r,
             ctx.q, ctx.digit_plain, ctx.digit_shoup, interpret=True,
+            approx=approx,
         )
     ).reshape(L, n)
     assert (got == want).all()
