@@ -94,6 +94,16 @@ def _use_pallas() -> bool:
 
     return jax.default_backend() not in ("cpu",)
 
+
+def _use_v3() -> bool:
+    """Pipelined scalar-prefetch kernel (v3, the round-4 default on TPU).
+
+    GPUFHE_NTT_KERNEL=v2 restores the monolithic gathered-tables kernel
+    (GPUFHE_NTT_V1=1 still selects the round-2 kernel below that)."""
+    return _use_pallas() and os.environ.get(
+        "GPUFHE_NTT_KERNEL", "v3") == "v3" and os.environ.get(
+        "GPUFHE_NTT_V1") != "1"
+
 _BYTE = np.uint32(0xFF)
 
 
@@ -160,6 +170,35 @@ def _recombine(s: jnp.ndarray, digit_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndar
     return acc
 
 
+def _approx_recombine() -> bool:
+    # round-4 approximate-mulhi Shoup recombine (bit-exact, ~35% fewer VPU
+    # ops, measured -10% in-kernel); GPUFHE_NTT_RECOMBINE=shoup restores
+    # the v2 exact-mulhi path for A/B
+    return os.environ.get("GPUFHE_NTT_RECOMBINE", "approx") != "shoup"
+
+
+def _fourstep_v3(x_mat: jnp.ndarray, ctx: Context, limbs: list, inv: bool):
+    """Pipelined scalar-prefetch kernel path: FULL tables + a limb index
+    vector — no host-side table gathers (ops/ntt_pallas.py v3 docstring).
+    One compiled program serves every limb selection of a given length."""
+    from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v3
+
+    t = ctx.ntt_inv if inv else ctx.ntt_fwd
+    if isinstance(limbs, slice):
+        limbs = np.arange(ctx.q.shape[0], dtype=np.int32)[limbs]
+    idx = jnp.asarray(np.asarray(limbs, dtype=np.int32))
+    return fourstep_pallas_v3(
+        x_mat, idx, t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l,
+        t.corr_r, ctx.q, ctx.digit_plain, ctx.digit_shoup,
+        approx=_approx_recombine(),
+        # mono measured FASTEST on chip at N=2^16 L=30 (5.81 us/limb-tf vs
+        # pipe 7.09, zip 6.92): Mosaic already overlaps MXU dots with the
+        # VPU recombine as much as it will; the explicit pipeline/zip
+        # structures only add scratch/guard overhead (scripts/ntt_ablate.py)
+        mode=os.environ.get("GPUFHE_NTT_MODE", "mono"),
+    )
+
+
 def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont,
               digit_plain=None, digit_shoup=None):
     """Shared four-step core: (WL @ X) * TW @ WR, then transpose.
@@ -194,10 +233,7 @@ def _fourstep(x_mat: jnp.ndarray, tables: NTTTables, q, qinv_neg, digit_mont,
             q[:, 0, 0],
             digit_plain,
             digit_shoup,
-            # round-4 approximate-mulhi Shoup recombine (bit-exact, ~35%
-            # fewer VPU ops); GPUFHE_NTT_RECOMBINE=shoup restores the v2
-            # exact-mulhi path for A/B
-            approx=os.environ.get("GPUFHE_NTT_RECOMBINE", "approx") != "shoup",
+            approx=_approx_recombine(),
         )
     s1 = _digit_dot_left(tables.wl_digits, _to_digits(x_mat))
     a_mat = _recombine(s1, digit_mont, q, qinv_neg)
@@ -217,6 +253,13 @@ def ntt_fwd(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n1, n2)
+    if _use_v3():
+        if lead:
+            flat = x_mat.reshape(-1, L, n1, n2)
+            out = jnp.stack([_fourstep_v3(flat[i], ctx, limbs, inv=False)
+                             for i in range(flat.shape[0])])
+            return out.reshape(*lead, L, n)
+        return _fourstep_v3(x_mat, ctx, limbs, inv=False).reshape(L, n)
     stage = isinstance(x, jax.core.Tracer)
     q = _staged_rows(ctx.q, limbs, stage)[:, None, None]
     qinv = _staged_rows(ctx.qinv_neg, limbs, stage)[:, None, None]
@@ -237,6 +280,13 @@ def ntt_inv(x: jnp.ndarray, ctx: Context, limbs=slice(None)) -> jnp.ndarray:
     *lead, L, n = x.shape
     n1, n2 = fourstep_split(n)
     x_mat = x.reshape(*lead, L, n2, n1)  # input natural order k = k2*n1 + k1
+    if _use_v3():
+        if lead:
+            flat = x_mat.reshape(-1, L, n2, n1)
+            out = jnp.stack([_fourstep_v3(flat[i], ctx, limbs, inv=True)
+                             for i in range(flat.shape[0])])
+            return out.reshape(*lead, L, n)
+        return _fourstep_v3(x_mat, ctx, limbs, inv=True).reshape(L, n)
     stage = isinstance(x, jax.core.Tracer)
     q = _staged_rows(ctx.q, limbs, stage)[:, None, None]
     qinv = _staged_rows(ctx.qinv_neg, limbs, stage)[:, None, None]

@@ -336,6 +336,359 @@ def fourstep_pallas_v2(
           corr_l, corr_r)
 
 
+def _fourstep_v3_stage_a(par, x_ref, wl_ref, t1_ref):
+    """Stage A (limb g): stage-1 digit dots X -> tap accumulators (MXU).
+
+    Writes the 7 i32 tap planes for limb g into t1_ref[par]."""
+    x = x_ref[0]
+    a = x.shape[0]
+    b = x.shape[1]
+    xcat = _offset_digits_cat(x, axis=1)
+    taps = [None] * 7
+    for e in range(4):
+        s_e = jax.lax.dot_general(
+            wl_ref[0, e * a:(e + 1) * a, :], xcat,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        for d in range(4):
+            t = e + d
+            blk = s_e[:, d * b:(d + 1) * b]
+            taps[t] = blk if taps[t] is None else taps[t] + blk
+    for t in range(7):
+        t1_ref[par, t] = taps[t]
+
+
+def _fourstep_v3_stage_b(par, li, q_ref, dmp_ref, dms_ref, tw_ref, twsh_ref,
+                         wr_ref, cl_ref, t1_ref, t2_ref, approx: bool):
+    """Stage B' (limb g-1): recombine stage-1 taps, twiddle, re-digitize,
+    stage-2 dots -> tap accumulators (VPU then MXU)."""
+    q = q_ref[li]
+    dmp = [dmp_ref[li, t] for t in range(7)]
+    dms = [dms_ref[li, t] for t in range(7)]
+    recombine = _recombine_taps_approx if approx else _recombine_taps
+    taps = [t1_ref[par, t] for t in range(7)]
+    cl = [cl_ref[0, t] for t in range(7)]
+    a_mat = recombine(taps, cl, dmp, dms, q, col=False)
+    if approx:
+        tws = twsh_ref[0]
+        b_mat = _shoup_approx(a_mat, tw_ref[0], tws & np.uint32(0xFFFF),
+                              tws >> np.uint32(16), q)
+    else:
+        b_mat = _shoup(a_mat, tw_ref[0], twsh_ref[0], q)
+    b = b_mat.shape[1]
+    taps2 = [None] * 7
+    for d in range(4):
+        bd = (((b_mat >> np.uint32(8 * d)) & _BYTE).astype(jnp.int32)
+              - 128).astype(jnp.int8)
+        s_d = jax.lax.dot_general(
+            bd, wr_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for e in range(4):
+            t = e + d
+            blk = s_d[:, e * b:(e + 1) * b]
+            taps2[t] = blk if taps2[t] is None else taps2[t] + blk
+    for t in range(7):
+        t2_ref[par, t] = taps2[t]
+
+
+def _fourstep_v3_stage_d(par, li, q_ref, dmp_ref, dms_ref, cr_ref, t2_ref,
+                         o_ref, approx: bool):
+    """Stage D (limb g-2): recombine stage-2 taps, canonicalize, transpose,
+    write the output block (VPU)."""
+    q = q_ref[li]
+    dmp = [dmp_ref[li, t] for t in range(7)]
+    dms = [dms_ref[li, t] for t in range(7)]
+    recombine = _recombine_taps_approx if approx else _recombine_taps
+    taps2 = [t2_ref[par, t] for t in range(7)]
+    cr = [cr_ref[0, t] for t in range(7)]
+    c_mat = recombine(taps2, cr, dmp, dms, q, col=True)
+    c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)
+    o_ref[0] = c_mat.T
+
+
+def _make_fourstep_kernel_v3(L: int, approx: bool):
+    """Software-pipelined four-step kernel: three stages, two limbs apart.
+
+    Round-4 ablation (scripts/ntt_ablate.py): the monolithic v2 body runs
+    MXU dots (~2.6 us/limb) and the VPU recombines (~3.3 us/limb) back to
+    back — wall == their SUM, zero overlap, because every dot's result is
+    consumed immediately by the tap adds feeding the recombine chain. This
+    kernel splits the per-limb chain into three stages that are mutually
+    INDEPENDENT within a grid step (they touch different limbs), so the
+    scheduler can overlap limb g's MXU dots with limb g-1/g-2's VPU
+    recombines:
+
+        step g:  A(limb g)    stage-1 dots          -> t1 scratch [MXU]
+                 B'(limb g-1) recombine+twiddle+
+                              stage-2 dots          -> t2 scratch [VPU+MXU]
+                 D(limb g-2)  final recombine+out              [VPU]
+
+    Scratch: two double-buffered 7-tap i32 planes (2 x 3.5 MB at N=2^16),
+    parity-indexed; grid runs L+2 steps (2 fill/drain)."""
+
+    def kernel(idx_ref, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
+               twsh_ref, wr_ref, cl_ref, cr_ref, o_ref, t1_ref, t2_ref):
+        g = pl.program_id(0)
+        par = jax.lax.rem(g, 2)
+
+        # scratch parity as STATIC indices: each stage is emitted twice
+        # under complementary pl.when guards so Mosaic never sees a
+        # dynamic leading index into the tap scratch buffers
+        for p in (0, 1):
+            @pl.when((g < L) & (par == p))
+            def _a(p=p):
+                _fourstep_v3_stage_a(p, x_ref, wl_ref, t1_ref)
+
+            @pl.when((g >= 1) & (g < L + 1) & (par == p))
+            def _b(p=p):
+                li = idx_ref[jnp.maximum(g - 1, 0)]
+                _fourstep_v3_stage_b(1 - p, li, q_ref, dmp_ref, dms_ref,
+                                     tw_ref, twsh_ref, wr_ref, cl_ref,
+                                     t1_ref, t2_ref, approx)
+
+            @pl.when((g >= 2) & (par == p))
+            def _d(p=p):
+                li = idx_ref[jnp.maximum(g - 2, 0)]
+                _fourstep_v3_stage_d(p, li, q_ref, dmp_ref, dms_ref, cr_ref,
+                                     t2_ref, o_ref, approx)
+
+    return kernel
+
+
+def _limb_chunks(li, q_ref, dmp_ref, dms_ref, x, wl_ref, tw_ref, twsh_ref,
+                 wr_ref, cl_ref, cr_ref, o_ref, oi, approx: bool):
+    """One limb's four-step transform as a GENERATOR yielding after each
+    schedulable chunk (a dot, a tap recombine, the twiddle...). Zipping two
+    limbs' generators round-robin interleaves their ops in TRACE order, so
+    an in-order scheduler can run limb A's VPU recombine while limb B's
+    independent MXU dot executes — the overlap the stage-split pipeline
+    failed to get from Mosaic (round-4 measurement)."""
+    q = q_ref[li]
+    dmp = [dmp_ref[li, t] for t in range(7)]
+    dms = [dms_ref[li, t] for t in range(7)]
+    recombine = _recombine_taps_approx if approx else _recombine_taps
+    a = x.shape[0]
+    b = x.shape[1]
+    xcat = _offset_digits_cat(x, axis=1)
+    yield
+    taps = [None] * 7
+    for e in range(4):
+        s_e = jax.lax.dot_general(
+            wl_ref[0, e * a:(e + 1) * a, :], xcat,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        yield
+        for d in range(4):
+            t = e + d
+            blk = s_e[:, d * b:(d + 1) * b]
+            taps[t] = blk if taps[t] is None else taps[t] + blk
+        yield
+    cl = [cl_ref[0, t] for t in range(7)]
+    a_mat = recombine(taps, cl, dmp, dms, q, col=False)
+    yield
+    if approx:
+        tws = twsh_ref[0]
+        b_mat = _shoup_approx(a_mat, tw_ref[0], tws & np.uint32(0xFFFF),
+                              tws >> np.uint32(16), q)
+    else:
+        b_mat = _shoup(a_mat, tw_ref[0], twsh_ref[0], q)
+    yield
+    taps2 = [None] * 7
+    for d in range(4):
+        bd = (((b_mat >> np.uint32(8 * d)) & _BYTE).astype(jnp.int32)
+              - 128).astype(jnp.int8)
+        yield
+        s_d = jax.lax.dot_general(
+            bd, wr_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        yield
+        for e in range(4):
+            t = e + d
+            blk = s_d[:, e * b:(e + 1) * b]
+            taps2[t] = blk if taps2[t] is None else taps2[t] + blk
+        yield
+    cr = [cr_ref[0, t] for t in range(7)]
+    c_mat = recombine(taps2, cr, dmp, dms, q, col=True)
+    c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)
+    o_ref[oi] = c_mat.T
+    yield
+
+
+def _make_fourstep_kernel_v3_zip(approx: bool):
+    """Two limbs per grid step, ops interleaved round-robin in trace order
+    (see _limb_chunks). Tables arrive as TWO spec sets (even/odd limb)."""
+
+    def kernel(idx_ref, q_ref, dmp_ref, dms_ref, x_ref,
+               wl0, tw0, twsh0, wr0, cl0, cr0,
+               wl1, tw1, twsh1, wr1, cl1, cr1, o_ref):
+        g = pl.program_id(0)
+        gens = [
+            _limb_chunks(idx_ref[2 * g], q_ref, dmp_ref, dms_ref, x_ref[0],
+                         wl0, tw0, twsh0, wr0, cl0, cr0, o_ref, 0, approx),
+            _limb_chunks(idx_ref[2 * g + 1], q_ref, dmp_ref, dms_ref,
+                         x_ref[1], wl1, tw1, twsh1, wr1, cl1, cr1, o_ref, 1,
+                         approx),
+        ]
+        # round-robin with a half-phase offset: start limb 0 one chunk
+        # early so its dot is in flight when limb 1's first dot issues
+        live = list(gens)
+        next(live[0])
+        while live:
+            for gen in list(live):
+                try:
+                    next(gen)
+                except StopIteration:
+                    live.remove(gen)
+
+    return kernel
+
+
+def _make_fourstep_kernel_v3_mono(L: int, approx: bool):
+    """Monolithic v3 body: scalar-prefetch table indexing, NO pipeline —
+    all stages for limb g run at grid step g (the v2 body with idx-driven
+    block maps). A/B baseline isolating the gather elimination from the
+    software pipeline (GPUFHE_NTT_PIPELINE=0)."""
+
+    def kernel(idx_ref, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
+               twsh_ref, wr_ref, cl_ref, cr_ref, o_ref):
+        g = pl.program_id(0)
+        li = idx_ref[g]
+        _fourstep_body_v2(0, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref,
+                          tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
+                          approx=approx)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "approx", "mode"))
+def fourstep_pallas_v3(
+    x: jnp.ndarray,
+    limb_idx: jnp.ndarray,
+    wl_cat: jnp.ndarray,
+    tw: jnp.ndarray,
+    tw_shoup: jnp.ndarray,
+    wr_cat: jnp.ndarray,
+    corr_l: jnp.ndarray,
+    corr_r: jnp.ndarray,
+    q: jnp.ndarray,
+    digit_plain: jnp.ndarray,
+    digit_shoup: jnp.ndarray,
+    interpret: bool = False,
+    approx: bool = True,
+    mode: str = "mono",
+) -> jnp.ndarray:
+    """Pipelined four-step core v3: scalar-prefetch limb indexing + MXU/VPU
+    software pipeline. Bit-exact with v2 and the jnp path (tests/test_ops).
+
+    Tables arrive FULL (all T primes); `limb_idx` i32[L] selects each grid
+    step's rows via scalar-prefetch-driven BlockSpec index maps — the DMA
+    engine fetches exactly the needed row per step, replacing the staged
+    host-side gathers that copied ~1 MB/limb of tables per ntt call
+    (measured ~1.0 us/limb-transform of the round-3 kernel's 7.5). One
+    compiled program now serves EVERY limb selection of a given length."""
+    L, a, b = x.shape
+    vm = pltpu.VMEM
+    sm = pltpu.SMEM
+    smem_specs = [
+        pl.BlockSpec(memory_space=sm),  # q [T]
+        pl.BlockSpec(memory_space=sm),  # digit_plain [T, 7]
+        pl.BlockSpec(memory_space=sm),  # digit_shoup [T, 7]
+    ]
+
+    if mode == "zip":
+        # two limbs per grid step, ops zipped in trace order; odd L pads
+        # with a repeat of the last limb (one wasted limb-transform)
+        if L % 2:
+            x = jnp.concatenate([x, x[-1:]])
+            limb_idx = jnp.concatenate(
+                [limb_idx, limb_idx[-1:]]).astype(jnp.int32)
+        Lp = x.shape[0]
+
+        def _tab(par):
+            def index_map(g, idx_ref):
+                return (idx_ref[2 * g + par], 0, 0)
+
+            return index_map
+
+        def _tabs(par):
+            return [
+                pl.BlockSpec((1, 4 * a, a), _tab(par), memory_space=vm),
+                pl.BlockSpec((1, a, b), _tab(par), memory_space=vm),
+                pl.BlockSpec((1, a, b), _tab(par), memory_space=vm),
+                pl.BlockSpec((1, b, 4 * b), _tab(par), memory_space=vm),
+                pl.BlockSpec((1, 7, a), _tab(par), memory_space=vm),
+                pl.BlockSpec((1, 7, b), _tab(par), memory_space=vm),
+            ]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Lp // 2,),
+            in_specs=smem_specs + [
+                pl.BlockSpec((2, a, b), lambda g, idx_ref: (g, 0, 0),
+                             memory_space=vm),  # x pair
+            ] + _tabs(0) + _tabs(1),
+            out_specs=pl.BlockSpec((2, b, a),
+                                   lambda g, idx_ref: (g, 0, 0),
+                                   memory_space=vm),
+        )
+        with _staged_kernel_trace():
+            out = pl.pallas_call(
+                _make_fourstep_kernel_v3_zip(approx),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((Lp, b, a), jnp.uint32),
+                interpret=interpret,
+            )(limb_idx.astype(jnp.int32), q, digit_plain, digit_shoup, x,
+              wl_cat, tw, tw_shoup, wr_cat, corr_l, corr_r,
+              wl_cat, tw, tw_shoup, wr_cat, corr_l, corr_r)
+        return out[:L]
+
+    def _at(off):
+        # table row for the stage handling limb g-off at grid step g
+        def index_map(g, idx_ref):
+            return (idx_ref[jnp.clip(g - off, 0, L - 1)], 0, 0)
+
+        return index_map
+
+    # pipeline stage offsets: A=0, B'=1, D=2 (mono: everything at 0)
+    pipeline = mode == "pipe"
+    o_a, o_b, o_d = (0, 1, 2) if pipeline else (0, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L + o_d,),
+        in_specs=smem_specs + [
+            pl.BlockSpec((1, a, b),
+                         lambda g, idx_ref: (jnp.clip(g, 0, L - 1), 0, 0),
+                         memory_space=vm),  # x: block g (stage A)
+            pl.BlockSpec((1, 4 * a, a), _at(o_a), memory_space=vm),  # wl: A
+            pl.BlockSpec((1, a, b), _at(o_b), memory_space=vm),      # tw: B'
+            pl.BlockSpec((1, a, b), _at(o_b), memory_space=vm),      # twsh
+            pl.BlockSpec((1, b, 4 * b), _at(o_b), memory_space=vm),  # wr: B'
+            pl.BlockSpec((1, 7, a), _at(o_b), memory_space=vm),      # cl: B'
+            pl.BlockSpec((1, 7, b), _at(o_d), memory_space=vm),      # cr: D
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, a),
+            lambda g, idx_ref: (jnp.clip(g - o_d, 0, L - 1), 0, 0),
+            memory_space=vm),
+        scratch_shapes=[
+            pltpu.VMEM((2, 7, a, b), jnp.int32),  # t1: stage-1 taps
+            pltpu.VMEM((2, 7, a, b), jnp.int32),  # t2: stage-2 taps
+        ] if pipeline else [],
+    )
+    kern = (_make_fourstep_kernel_v3(L, approx) if pipeline
+            else _make_fourstep_kernel_v3_mono(L, approx))
+    with _staged_kernel_trace():
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((L, b, a), jnp.uint32),
+            interpret=interpret,
+        )(limb_idx.astype(jnp.int32), q, digit_plain, digit_shoup, x,
+          wl_cat, tw, tw_shoup, wr_cat, corr_l, corr_r)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fourstep_pallas(
     x: jnp.ndarray,

@@ -97,30 +97,36 @@ def _tie(xs, y):
     return (xs[0] ^ s,) + tuple(xs[1:])
 
 
-def timed_chain(name, f, args, consts=()):
+def timed_chain(name, f, args, consts=(), chain=None):
     """Chained latency of f(*args, *consts): per-call seconds, read-synced
     min-of-ITERS, with the empty-loop floor for the same carry subtracted.
+
+    `chain` overrides CHAIN per stage: cheap leaves (mod_down, rescale) sit
+    below the ~±0.1 ms floor-noise resolution at CHAIN=64 and shipped as
+    0.0 in the round-3 artifact (VERDICT r3 weak #1) — an 8x longer chain
+    scales the per-call noise down 8x and makes them measurable.
 
     `consts` (e.g. the relin key) enter as jit ARGUMENTS — loop-invariant,
     outside the fori carry — never as closure constants: closed-over device
     arrays lower as HLO literals and the dw relin key (~300 MB) blows the
     tunneled remote-compile request cap (HTTP 413)."""
+    chain = CHAIN if chain is None else chain
 
     @jax.jit
     def prog(xs, cs):
         def body(_, xs):
             return _tie(xs, f(*xs, *cs))
 
-        return jax.lax.fori_loop(0, CHAIN, body, tuple(xs))
+        return jax.lax.fori_loop(0, chain, body, tuple(xs))
 
-    shapes = tuple((x.shape, str(x.dtype)) for x in args)
+    shapes = tuple((x.shape, str(x.dtype)) for x in args) + (chain,)
 
     @jax.jit
     def floor_prog(xs, cs):
         def body(_, xs):
             return _tie(xs, (xs[0],))
 
-        return jax.lax.fori_loop(0, CHAIN, body, tuple(xs))
+        return jax.lax.fori_loop(0, chain, body, tuple(xs))
 
     def run(prog, args):
         t0 = time.time()
@@ -134,7 +140,7 @@ def timed_chain(name, f, args, consts=()):
             t0 = time.time()
             out = compiled(tuple(out), tuple(consts))
             _ = np.asarray(out[0].reshape(-1)[:4])
-            dts.append((time.time() - t0) / CHAIN)
+            dts.append((time.time() - t0) / chain)
         return min(dts), tc
 
     if shapes not in _floor_cache:
@@ -165,6 +171,19 @@ def f_ntt_fwd_qp(x):
     return ntt_fwd(x, ctx, limbs=qp_idx)
 
 
+def f_ntt_inv_qp(x):
+    return ntt_inv(x, ctx, limbs=qp_idx)
+
+
+# Per-stage chain lengths: every leaf must sit ≫ the ~24 ms dispatch+read
+# floor's run-to-run noise, so cheap leaves chain LONGER (VERDICT r3: the
+# round-3 artifact shipped mod_down/rescale as 0.0 — below resolution at
+# CHAIN=64). Targets: wall/pass >= ~10x floor for each stage.
+C_NTT = CHAIN * 16      # ~0.15-0.3 ms leaves
+C_ELEM = CHAIN * 32     # tensor / ks_mac (~0.1 ms)
+C_CHEAP = CHAIN * 64    # mod_down / rescale (~0.05 ms)
+C_BIG = CHAIN * 2       # key_switch / mul_full (2-3 ms)
+
 x_k = a0
 qp = np.asarray(params.q_primes + params.p_primes, dtype=np.uint32)[
     np.asarray(qp_idx)
@@ -172,10 +191,15 @@ qp = np.asarray(params.q_primes + params.p_primes, dtype=np.uint32)[
 x_qp = jnp.asarray(
     rng.integers(0, qp[:, None], size=(k + alpha, n), dtype=np.uint32)
 )
-results["ntt_fwd_k"] = timed_chain(f"ntt_fwd[{k}]", f_ntt_fwd_k, (x_k,))
-results["ntt_inv_k"] = timed_chain(f"ntt_inv[{k}]", f_ntt_inv_k, (x_k,))
+results["ntt_fwd_k"] = timed_chain(f"ntt_fwd[{k}]", f_ntt_fwd_k, (x_k,),
+                                   chain=C_NTT)
+results["ntt_inv_k"] = timed_chain(f"ntt_inv[{k}]", f_ntt_inv_k, (x_k,),
+                                   chain=C_NTT)
 results["ntt_fwd_qp"] = timed_chain(
-    f"ntt_fwd[{k + alpha}]", f_ntt_fwd_qp, (x_qp,)
+    f"ntt_fwd[{k + alpha}]", f_ntt_fwd_qp, (x_qp,), chain=C_NTT
+)
+results["ntt_inv_qp"] = timed_chain(
+    f"ntt_inv[{k + alpha}]", f_ntt_inv_qp, (x_qp,), chain=C_NTT
 )
 
 for nm, key, nl in (("ntt_fwd_k", "ntt_fwd_k", k), ("ntt_fwd_qp", "ntt_fwd_qp",
@@ -203,14 +227,16 @@ def f_tensor(a0, a1, b0, b1):
     return d0, d1, d2
 
 
-results["tensor"] = timed_chain("tensor(3 mulmod)", f_tensor, (a0, a1, b0, b1))
+results["tensor"] = timed_chain("tensor(3 mulmod)", f_tensor,
+                                (a0, a1, b0, b1), chain=C_ELEM)
 
 
 def f_modup(x):
     return tuple(mod_up(x, params, k, ctx, ksc))
 
 
-results["mod_up"] = timed_chain(f"mod_up[{dnum}x{k + alpha}]", f_modup, (x_k,))
+results["mod_up"] = timed_chain(f"mod_up[{dnum}x{k + alpha}]", f_modup, (x_k,),
+                                chain=C_NTT)
 
 
 def f_mac(r_stack, kb, ka):
@@ -236,14 +262,16 @@ r_stack = jnp.asarray(
     )
 )
 results["ks_mac"] = timed_chain(f"ks_mac[{dnum}x{k + alpha}]", f_mac,
-                                (r_stack,), consts=(rlk.b_mont, rlk.a_mont))
+                                (r_stack,), consts=(rlk.b_mont, rlk.a_mont),
+                                chain=C_ELEM)
 
 
 def f_moddown(x):
     return mod_down(x, params, k, ctx, ksc)
 
 
-results["mod_down"] = timed_chain("mod_down", f_moddown, (x_qp,))
+results["mod_down"] = timed_chain("mod_down", f_moddown, (x_qp,),
+                                  chain=C_CHEAP)
 
 
 def f_rescale_chain(x):
@@ -255,7 +283,8 @@ def f_rescale_chain(x):
     return cc
 
 
-results["rescale"] = timed_chain(f"rescale x{w}", f_rescale_chain, (x_k,))
+results["rescale"] = timed_chain(f"rescale x{w}", f_rescale_chain, (x_k,),
+                                 chain=C_CHEAP)
 
 # -- 3. composite stages ------------------------------------------------------
 
@@ -268,7 +297,8 @@ def f_ks(d2, kb, ka):
 
 
 results["key_switch"] = timed_chain("key_switch(eval_out=F)", f_ks, (x_k,),
-                                    consts=(rlk.b_mont, rlk.a_mont))
+                                    consts=(rlk.b_mont, rlk.a_mont),
+                                    chain=C_BIG)
 
 
 def f_mul(a0, a1, b0, b1, kb, ka):
@@ -279,35 +309,59 @@ def f_mul(a0, a1, b0, b1, kb, ka):
 
 
 results["mul_full"] = timed_chain("mul_full (fused)", f_mul, (a0, a1, b0, b1),
-                                  consts=(rlk.b_mont, rlk.a_mont))
+                                  consts=(rlk.b_mont, rlk.a_mont),
+                                  chain=C_BIG)
 
-# -- attribution --------------------------------------------------------------
-# mul_full = tensor + [iNTT k] (d2, inside ks) + modup + dnum NTT qp + MAC
-#            + 2 iNTT qp + moddown x2... reconstruct from the composites:
+# -- attribution (leaf-derived; VERDICT r3 item 2) ----------------------------
+# key_switch(eval_out=F) decomposes EXACTLY (keyswitch.py:71-144) into:
+#   iNTT[k] (d2 -> coeff) + mod_up + dnum x NTT[k+alpha] + MAC
+#   + 2 x iNTT[k+alpha] + 2 x mod_down
+# Each term is a leaf measured above; the residual is whatever the composite
+# spends that its leaves don't (layout copies between stages, scheduling).
+ks_leaf = (
+    results["ntt_inv_k"]
+    + results["mod_up"]
+    + dnum * results["ntt_fwd_qp"]
+    + results["ks_mac"]
+    + 2 * results["ntt_inv_qp"]
+    + 2 * results["mod_down"]
+)
+ks_residual = results["key_switch"] - ks_leaf
+
+# mult SoL re-derived from LEAVES ONLY (the composite key_switch no longer
+# enters the sum, so any slack inside it can't inflate the ceiling):
+# mul_full = tensor + key_switch-leaves + 2 iNTT[k] (d0, d1) + 2 rescale
+#            + 2 NTT[k-w] back to eval domain.
 recon = (
     results["tensor"]
-    + results["key_switch"]
-    + 2 * results["ntt_inv_k"]  # iNTT d0, d1
-    + 2 * results["rescale"]  # both components' rescale chains
-    + 2 * (k - w) / k * results["ntt_fwd_k"]  # NTT back at k-w limbs
+    + ks_leaf
+    + 2 * results["ntt_inv_k"]
+    + 2 * results["rescale"]
+    + 2 * (k - w) / k * results["ntt_fwd_k"]
 )
 ntt_per_limb = results["ntt_fwd_qp"] / (k + alpha)
-ks_ntt = (k + dnum * (k + alpha) + 2 * (k + alpha)) * ntt_per_limb
-ks_nonntt = results["key_switch"] - ks_ntt
+ntt_inv_per_limb = results["ntt_inv_qp"] / (k + alpha)
 
 print("#", flush=True)
 print(f"# mul_full measured {results['mul_full'] * 1e3:.3f} ms; "
-      f"sum-of-stages {recon * 1e3:.3f} ms "
+      f"leaf-sum SoL {recon * 1e3:.3f} ms "
       f"(fusion benefit {1 - results['mul_full'] / recon:+.1%})", flush=True)
-print(f"# key_switch {results['key_switch'] * 1e3:.3f} ms = NTT-part "
-      f"~{ks_ntt * 1e3:.3f} + non-NTT ~{ks_nonntt * 1e3:.3f} "
-      f"(modup {results['mod_up'] * 1e3:.3f} + mac {results['ks_mac'] * 1e3:.3f}"
-      f" + moddown 2x{results['mod_down'] * 1e3:.3f})", flush=True)
+print(f"# key_switch {results['key_switch'] * 1e3:.3f} ms vs leaf-sum "
+      f"{ks_leaf * 1e3:.3f} ms -> residual {ks_residual * 1e3:+.3f} ms "
+      f"({ks_residual / results['key_switch']:+.1%} of key_switch)",
+      flush=True)
+print(f"#   leaves: iNTT[{k}] {results['ntt_inv_k'] * 1e3:.3f} + mod_up "
+      f"{results['mod_up'] * 1e3:.3f} + {dnum}xNTT[{k + alpha}] "
+      f"{dnum * results['ntt_fwd_qp'] * 1e3:.3f} + mac "
+      f"{results['ks_mac'] * 1e3:.3f} + 2xiNTT[{k + alpha}] "
+      f"{2 * results['ntt_inv_qp'] * 1e3:.3f} + 2xmod_down "
+      f"{2 * results['mod_down'] * 1e3:.3f}", flush=True)
 
 n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * (k - w)
 ntt_total = n_limb_tf * ntt_per_limb
 print(f"# NTT share of mult: {n_limb_tf} limb-transforms x "
-      f"{ntt_per_limb * 1e6:.1f} us = {ntt_total * 1e3:.3f} ms "
+      f"{ntt_per_limb * 1e6:.1f} us (fwd; inv {ntt_inv_per_limb * 1e6:.1f}) "
+      f"= {ntt_total * 1e3:.3f} ms "
       f"({ntt_total / results['mul_full']:.0%} of measured mult)", flush=True)
 
 out = {
@@ -315,14 +369,23 @@ out = {
     "n": n,
     "level": k,
     "stages_ms": {nm: round(dt * 1e3, 4) for nm, dt in results.items()},
+    "chains": {"ntt": C_NTT, "elem": C_ELEM, "cheap": C_CHEAP, "big": C_BIG},
     "ntt_us_per_limb_transform": round(ntt_per_limb * 1e6, 2),
+    "ntt_inv_us_per_limb_transform": round(ntt_inv_per_limb * 1e6, 2),
     "limb_transforms_per_mult": n_limb_tf,
     "ntt_fraction_of_mult": round(ntt_total / results["mul_full"], 4),
-    # sum of the measured stages = the mult's re-derived speed of light on
-    # THIS chip (each stage is its own chained one-jit measurement; the
-    # fused mult cannot beat their sum except via cross-stage overlap).
-    # bench.py reads this as the SoL denominator for vs_baseline.
+    # key_switch attribution: the composite vs the sum of its own leaves.
+    # A residual <= 10% of key_switch means the composite is accounted for;
+    # anything larger is copies/layout work hiding between the stages.
+    "key_switch_leaf_sum_ms": round(ks_leaf * 1e3, 4),
+    "key_switch_residual_ms": round(ks_residual * 1e3, 4),
+    # LEAF-derived speed of light for the mult (no composite enters this
+    # sum, so internal key_switch slack cannot inflate the ceiling). Each
+    # leaf is its own chained one-jit measurement; the fused mult cannot
+    # beat their sum except via cross-stage overlap. bench.py reads this
+    # as the SoL denominator for vs_baseline.
     "recon_ms": round(recon * 1e3, 4),
+    "recon_source": "leaf stages only (key_switch decomposed)",
 }
 print(json.dumps(out), flush=True)
 with open(f"PROFILE_MULT_{PRESET}.json", "w") as f:

@@ -289,3 +289,36 @@ def test_ciphertext_roundtrip_bgv_bfv(tmp_path):
     assert back.level == bf.level
     for a, b in zip(bf.c, back.c):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_security_estimator_table():
+    """The estimator table (params/security_table.json) must reproduce the
+    HE-standard dense row it was calibrated against (within 1% for
+    N >= 4096), penalize sparse secrets monotonically, and keep the
+    literature hybrid-attack cap binding where the drop-and-solve estimator
+    is weaker (N=2^16, h=192 -> 1546)."""
+    from gpufhe_tpu.params.params import _mk
+    from gpufhe_tpu.utils import security
+
+    t = security._table()
+    he_std = {4096: 109, 8192: 218, 16384: 438, 32768: 881, 65536: 1772}
+    for n, cap in he_std.items():
+        est = t["caps"][str(n)]["dense"][0]
+        assert abs(est - cap) / cap < 0.01, (n, est, cap)
+    # sparse caps monotone in h at N=2^16 (128-bit column)
+    import dataclasses
+
+    base = _mk(n=2**16, n_q=2, n_p=1, scale_bits=28)
+    prev = 0.0
+    for h in (16, 32, 64, 128, 192):
+        p = dataclasses.replace(base, hamming_weight=h)
+        cap = security.max_log_qp(p, 0)
+        assert cap >= prev, (h, cap, prev)
+        prev = cap
+    # literature hybrid cap binds at h=192 (estimator's drop-and-solve
+    # alone would allow ~1769)
+    p192 = dataclasses.replace(base, hamming_weight=192)
+    assert abs(security.max_log_qp(p192, 0) - 1546.0) < 1.0
+    # dense + encapsulation is governed by the dense estimator row
+    p_enc = dataclasses.replace(base, eph_hamming_weight=32)
+    assert security.max_log_qp(p_enc, 0) > 1770

@@ -235,6 +235,45 @@ def test_pallas_v2_kernel_matches_xla_path(direction, approx):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("direction", ["fwd", "inv"])
+@pytest.mark.parametrize("mode", ["mono", "zip", "pipe"])
+def test_pallas_v3_kernel_matches_xla_path(direction, mode):
+    """Scalar-prefetch four-step v3 (interpret mode on CPU) vs the jnp path:
+    full tables + a NON-CONTIGUOUS limb index vector, so the prefetch-driven
+    block index maps are actually exercised. Covers all three scheduling
+    modes (mono is the on-chip default; pipe/zip kept for A/B) and odd L
+    (zip's pad-to-even path)."""
+    from gpufhe_tpu.ops.context import fourstep_split
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v3
+
+    params = preset("tiny2")
+    ctx = make_context(params)
+    primes = params.q_primes + params.p_primes
+    n = params.n
+    n1, n2 = fourstep_split(n)
+    sel = [1, 3, 0]  # non-contiguous, odd length
+    x = np.stack([RNG.integers(0, primes[i], size=n, dtype=np.int64)
+                  for i in sel])
+    if direction == "fwd":
+        want = np.asarray(ntt_fwd(_u32(x), ctx, limbs=sel))
+        t = ctx.ntt_fwd
+        xm = _u32(x).reshape(len(sel), n1, n2)
+    else:
+        want = np.asarray(ntt_inv(_u32(x), ctx, limbs=sel))
+        t = ctx.ntt_inv
+        xm = _u32(x).reshape(len(sel), n2, n1)
+    got = np.asarray(
+        fourstep_pallas_v3(
+            xm, jnp.asarray(np.asarray(sel, dtype=np.int32)),
+            t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l, t.corr_r,
+            ctx.q, ctx.digit_plain, ctx.digit_shoup, interpret=True,
+            approx=True, mode=mode,
+        )
+    ).reshape(len(sel), n)
+    assert (got == want).all()
+
+
 def test_digit_convert_matches_base_convert():
     """The MXU digit base conversion (ops/convert_pallas.py, interpret mode
     on CPU) == the per-term Shoup formulation, element-exact, at a BFV-like

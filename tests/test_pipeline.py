@@ -216,6 +216,16 @@ def test_fused_pipeline_pallas_trace(stack, monkeypatch):
         npal, "fourstep_pallas_v2",
         functools.partial(npal.fourstep_pallas_v2, interpret=True),
     )
+    # v3 (the round-4 default): same interpret forcing, both import sites
+    monkeypatch.setattr(
+        nttmod, "fourstep_pallas_v3",
+        functools.partial(npal.fourstep_pallas_v3, interpret=True),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        npal, "fourstep_pallas_v3",
+        functools.partial(npal.fourstep_pallas_v3, interpret=True),
+    )
 
     be = cbackend.DeviceBackend(params, ctx, chest)
     rng = np.random.default_rng(31)
