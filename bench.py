@@ -352,6 +352,8 @@ def main():
         # the measured ratio when the CKKS number is available
         if b.get("vs_ckks_mult") is not None:
             line["vs_ckks_mult"] = b["vs_ckks_mult"]
+        if b.get("vs_baseline") is not None:
+            line["vs_baseline"] = b["vs_baseline"]  # measured BFV stage-sum
         print(json.dumps(line), flush=True)
 
     # third scheme: production BGV mult (scripts/bgv_n16_mult.py, same
@@ -360,13 +362,17 @@ def main():
     bgv_art = pathlib.Path(__file__).resolve().parent / "BGV_N16.json"
     if bgv_art.exists():
         b = json.loads(bgv_art.read_text())
-        print(json.dumps({
+        line = {
             "metric": b["metric"],
             "value": b["value"],
             "unit": b["unit"],
             "ms_per_mult": b.get("ms_per_mult"),
             "source": "BGV_N16.json (scripts/bgv_n16_mult.py)",
-        }), flush=True)
+        }
+        if b.get("vs_baseline") is not None:
+            # CKKS leaf-derived stage-sum at the same KS geometry
+            line["vs_baseline"] = b["vs_baseline"]
+        print(json.dumps(line), flush=True)
 
     # secondary headline: the production bootstrap chain (L=48 double-word)
     if os.environ.get("BENCH_DW", "1") != "0":

@@ -138,6 +138,25 @@ result = {
     "ms_per_mult": round(dt * 1e3, 3),
     "chain": CHAIN,
 }
+
+# ceiling (VERDICT r3 weak #4): the BGV mult's stage structure is the CKKS
+# mult's (tensor + hybrid key-switch + NTT round trips) with the rescale
+# replaced by the t-corrected ModSwitch — same N/L/alpha/dnum geometry as
+# config5_boot, so the CKKS LEAF-derived recon_ms prices it. ModSwitch
+# costs slightly more than rescale (two extra elementwise passes), so this
+# denominator slightly UNDERSTATES the true BGV stage-sum — vs_baseline is
+# conservative.
+import pathlib
+
+_ckks = pathlib.Path(__file__).resolve().parents[1] / "PROFILE_MULT_config5_boot.json"
+if _ckks.exists():
+    recon = json.loads(_ckks.read_text()).get("recon_ms")
+    if recon:
+        result["recon_ms_ckks_leaves"] = recon
+        result["vs_baseline"] = round(recon / (dt * 1e3), 4)
+        result["vs_baseline_basis"] = ("CKKS leaf-derived stage-sum at the "
+                                       "same KS geometry; ModSwitch delta "
+                                       "unpriced (conservative)")
 print(json.dumps(result))
 with open("BGV_N16.json", "w") as f:
     json.dump(result, f)
