@@ -108,7 +108,11 @@ class EncryptedMLP:
             self.act_ref = None  # caller compares against its own reference
             self.act_levels = act_levels
         n_hidden = len(self.layers) - 1
-        self.levels_used = len(self.layers) + n_hidden * self.act_levels
+        # limb budget of the whole forward pass: each mult (matmul or
+        # activation step) consumes scale_words limbs
+        self.levels_used = be.params.scale_words * (
+            len(self.layers) + n_hidden * self.act_levels
+        )
         self.refreshes = 0  # mid-inference bootstraps in the last forward
         self._plans: dict[tuple[int, int], BsgsPlan] = {}  # (layer, level)
 
@@ -133,7 +137,11 @@ class EncryptedMLP:
         ct = ct_x
         last = len(self.layers) - 1
         for i, (_, bz) in enumerate(self.layers):
-            needed = 1 + (self.act_levels if i < last else 0)
+            # limb budget for this layer: matmul + activation MULTS, each
+            # consuming scale_words limbs (dw: 2 per mult)
+            needed = be.params.scale_words * (
+                1 + (self.act_levels if i < last else 0)
+            )
             lvl = be.level(ct)
             if lvl - needed < floor and self.refresh is not None:
                 ct = self.refresh(ct)  # bootstrap: restore the level budget

@@ -1,7 +1,7 @@
 """Production-scale capstone: DEEP encrypted MLP inference THROUGH the
 N=2^16 double-word bootstrap on the real chip (VERDICT r3 item 8).
 
-A 5-layer square-activation MLP (d=16 features) whose depth (5 matmuls + 4
+A 5-layer square-activation MLP (d=8 features) whose depth (5 matmuls + 4
 activations = 9 mults = 18 dw levels + floor) exceeds the level budget the
 input carries (level 6): the forward pass bootstraps MID-INFERENCE at every
 layer boundary where the remaining budget cannot fit the next layer
@@ -11,7 +11,7 @@ the encrypted MLP (MLP_N15.json) — into one end-to-end proof: arbitrary-
 depth encrypted inference at production ring size.
 
 Configuration notes:
-  * d=16 keeps the BSGS rotation-key set small (~30 keys at ~63 MB each
+  * d=8 keeps the BSGS rotation-key set small (~12 keys at ~63 MB each
     once truncated to the post-bootstrap level) — the bootstrap chest alone
     holds ~9 GiB of the 16 GB chip.
   * GPUFHE_FUSE_EVALMOD defaults OFF here: the MLP keys eat the HBM
@@ -59,7 +59,7 @@ def main():
     assert jax.devices()[0].platform == "tpu", jax.devices()
 
     radix = 3
-    d = int(os.environ.get("DEEP_MLP_D", "16"))
+    d = int(os.environ.get("DEEP_MLP_D", "8"))
     n_layers = int(os.environ.get("DEEP_MLP_LAYERS", "5"))
     in_level = int(os.environ.get("DEEP_MLP_IN_LEVEL", "6"))
     params = preset("config5_boot_dw")

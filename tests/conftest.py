@@ -27,4 +27,7 @@ jax.config.update("jax_platforms", "cpu")
 # compiles of per-level pipeline stages; repeat runs hit the disk cache
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# cache EVERY compile: the deep-circuit tests dispatch hundreds of small
+# per-level programs each compiling in 0.1-0.5 s — below the old 0.5 s
+# threshold they recompiled every run and dominated the warm fast tier
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
