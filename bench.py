@@ -23,15 +23,19 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
 achieved fraction of the op's speed of light. The kernel is VPU-bound on the
 NTT's modular recombine — NEITHER physics floor binds (HBM runs at ~18% of
 peak; the MXU int8 dots are a minority of kernel time) — so the SoL is
-re-derived from MEASUREMENT: the sum of the mult's individually-chained
-stage timings from scripts/profile_mult_stages.py (PROFILE_MULT_*.json
-recon_ms). The fused mult cannot beat that sum except by cross-stage
-overlap, so vs_baseline (capped at 1.0) reports how much of the measured
-per-stage ceiling the fusion achieves. Both physics floors are still
-printed/emitted for the record (hbm_floor_ms / mxu_floor_ms), as is the
-full stage table. An analytic VPU floor from an LCG microbench was tried
-and REJECTED: the serial per-tile chain is latency-bound in Mosaic (~0.25
-Tops/s measured) and the real kernel's own throughput contradicts it 10x.
+re-derived from MEASUREMENT: the LEAF-DERIVED stage sum from
+scripts/profile_mult_stages.py (PROFILE_MULT_*.json recon_ms — round 4:
+key_switch is decomposed into its own measured leaves, residual +0.2%, so
+no composite slack can inflate the ceiling). The fused mult cannot beat
+that sum except by cross-stage overlap, so vs_baseline (capped at 1.0)
+reports how much of the measured per-stage ceiling the fusion achieves.
+Both physics floors are still printed/emitted for the record
+(hbm_floor_ms / mxu_floor_ms), as is the full stage table. The VPU ceiling
+is now MEASURED properly (scripts/vpu_peak.py, parallel-tile: 2.85-3.0
+Tops/s u32; the round-3 serial-chain attempt was latency-bound and
+rejected) and the NTT kernel's own ablation (scripts/ntt_ablate.py) shows
+it running AT that VPU speed of light with ~90% of its MXU time hidden
+(NTT_N16.json vs_sol).
 XLA's cost_analysis() is printed too when meaningful, but through the axon
 PJRT plugin it reports only entry-IO-scale bytes and is flagged + ignored.
 
@@ -223,11 +227,11 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     # scripts/profile_mult_stages.py (each stage its own chained one-jit
     # measurement on this chip; the fused mult cannot beat their sum except
     # via cross-stage overlap — vs_baseline is capped at 1.0 when it does).
-    # An analytic VPU floor was tried and REJECTED: a serial-chain LCG
-    # microbench measures ~0.25 Tops/s (latency-bound per VMEM tile in
-    # Mosaic), which the real kernel's own throughput contradicts 10x — so
-    # the measured stage table, not a synthetic peak, is the ceiling
-    # evidence. Physics floors are still printed for the record.
+    # (round 4: recon_ms is LEAF-derived — key_switch decomposed into its
+    # measured leaves with +0.2% residual — and the VPU ceiling is measured
+    # for real in scripts/vpu_peak.py; see NTT_N16.json vs_sol for the
+    # kernel-level speed-of-light evidence.) Physics floors are still
+    # printed for the record.
     prof = (pathlib.Path(__file__).resolve().parent
             / f"PROFILE_MULT_{preset_name}.json")
     stage_sol = None

@@ -67,7 +67,7 @@ class Bootstrapper:
     def __init__(self, be, r: int = 5, taylor_m: int = 4, transform: str = "dense",
                  radix_log: int = 3, evalmod: str = "cos", k_bound: float = 12.0,
                  cheb_baby_log: int = 3, fuse_evalmod: bool | None = None,
-                 lean_keys: bool = False):
+                 lean_keys: bool = False, normalize_scale: bool = True):
         """evalmod="cos": Taylor cos + r double-angle steps (amplifies input
         noise by 2^r — fine at CI scale). evalmod="cheb": direct Chebyshev
         sine evaluation (polyeval.py) — no noise amplification; the
@@ -85,6 +85,7 @@ class Bootstrapper:
         self.be = be
         params: CKKSParams = be.params
         self.params = params
+        self.normalize_scale = normalize_scale
         self.r = r
         self.taylor_m = taylor_m
         self.transform = transform
@@ -290,6 +291,28 @@ class Bootstrapper:
         return y
 
     # -- full pipeline ------------------------------------------------------
+    def _normalize(self, ct):
+        """Land the refreshed ciphertext at EXACTLY scale Delta.
+
+        The transform-factor bookkeeping leaves the StC output at
+        in_scale * prod(pt scales) / prod(rescale primes) — ~2^78 at the
+        N=2^16 dw flagship, NOT Delta. Decrypt-right-after never notices
+        (decode divides by the tracked scale), but any COMPUTE chained after
+        the refresh compounds the excess: each squaring doubles the
+        log-excess and a 5-layer MLP with two mid-inference refreshes drove
+        the tracked scale to float inf (round-4 deep_mlp_n16 failure). One
+        uniform-constant multiply + rescale (polyeval._align_to — the
+        constant encode is exact, no structural quantization) costs one
+        mult level and restores the production invariant: bootstrap output
+        scale == Delta."""
+        if not self.normalize_scale:
+            return ct
+        w = self.params.scale_words
+        from gpufhe_tpu.ciphertext.polyeval import _align_to
+
+        return _align_to(self.be, ct, self.params.scale,
+                         self.be.level(ct) - w)
+
     def __call__(self, ct, _phase=None):
         """_phase: optional callable(name, ct_like) fired as each pipeline
         phase's outputs are produced — the hook timed_call uses to read-sync
@@ -297,6 +320,25 @@ class Bootstrapper:
         mark = _phase if _phase is not None else (lambda name, x: None)
         be = self.be
         w = self.params.scale_words
+        delta = self.params.scale
+        # EvalMod's domain mapping assumes the input scale is EXACTLY Delta:
+        # a relative scale error eps multiplies the ModRaise overflow term
+        # inside the sine argument (error ~ 2*pi*eps*I radians, I up to
+        # k_bound) — 2% drift from a preceding compute chain produced
+        # logits err 2.8e4 in the round-4 deep-MLP capstone. Align to Delta
+        # here when the input carries the w spare limbs that costs
+        # (callers that chain compute before a refresh reserve them:
+        # models/mlp.py refresh budget).
+        if (self.normalize_scale and abs(ct.scale / delta - 1.0) > 1e-6
+                and be.level(ct) >= 2 * w):
+            from gpufhe_tpu.ciphertext.polyeval import _align_to
+
+            ct = _align_to(be, ct, delta, be.level(ct) - w)
+        assert abs(ct.scale / delta - 1.0) < 1e-4, (
+            f"bootstrap input scale {ct.scale:.6g} != Delta {delta:.6g} and "
+            f"no spare limbs to align (level {be.level(ct)}); EvalMod would "
+            f"decode garbage — reserve scale_words limbs before the refresh"
+        )
         if be.level(ct) > w:
             ct = be.drop_to_level(ct, w)
         eph = getattr(be.chest, "eph", None) if hasattr(be, "chest") else None
@@ -334,6 +376,7 @@ class Bootstrapper:
             mark("evalmod", y1)
             lvl = self.f_stc.first_lo.level  # ghost-planned == actual level
             out = self.f_stc(be.drop_to_level(y0, lvl), be.drop_to_level(y1, lvl))
+            out = self._normalize(out)
             mark("slot_to_coeff", out)
             return out
 
@@ -358,6 +401,7 @@ class Bootstrapper:
             y0 = be.drop_to_level(y0, self.stc0.level)
             y1 = be.drop_to_level(y1, self.stc1.level)
             out = be.add(self.stc0.apply(y0), self.stc1.apply(y1))
+        out = self._normalize(out)
         mark("slot_to_coeff", out)
         return out
 

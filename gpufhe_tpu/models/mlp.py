@@ -138,12 +138,14 @@ class EncryptedMLP:
         last = len(self.layers) - 1
         for i, (_, bz) in enumerate(self.layers):
             # limb budget for this layer: matmul + activation MULTS, each
-            # consuming scale_words limbs (dw: 2 per mult)
-            needed = be.params.scale_words * (
-                1 + (self.act_levels if i < last else 0)
-            )
+            # consuming scale_words limbs (dw: 2 per mult); reserve
+            # scale_words MORE so the refresh can align its input scale to
+            # exactly Delta first (bootstrap.py: EvalMod decodes garbage
+            # from a drifted input scale)
+            w = be.params.scale_words
+            needed = w * (1 + (self.act_levels if i < last else 0))
             lvl = be.level(ct)
-            if lvl - needed < floor and self.refresh is not None:
+            if lvl - needed < floor + w and self.refresh is not None:
                 ct = self.refresh(ct)  # bootstrap: restore the level budget
                 self.refreshes += 1
                 lvl = be.level(ct)

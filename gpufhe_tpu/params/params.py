@@ -260,7 +260,8 @@ def preset(name: str) -> CKKSParams:
         return _mk(n=2**8, n_q=8, n_p=2, scale_bits=28)
     if name == "boot_ci_f":
         # bootstrap with factored transforms: CtS 2 + EvalMod 10 + StC 2
-        p = _mk(n=2**7, n_q=16, n_p=3, scale_bits=28)
+        # + scale-normalize 1
+        p = _mk(n=2**7, n_q=17, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
     if name == "boot_dw_ci":
         # double-word scale CI: Delta = 2^56 over 28-bit limb PAIRS; base
@@ -360,9 +361,10 @@ def preset(name: str) -> CKKSParams:
         p = _mk(n=2**7, n_q=12, n_p=3, scale_bits=28)
         return dataclasses.replace(p, plain_modulus=257)
     if name == "boot_ci":
-        # CI-scale bootstrapping: 14 levels (CtS 1 + EvalMod 10 + StC 1 + margin),
-        # sparse secret so the ModRaise overflow I stays small (SURVEY §7 cfg 5)
-        p = _mk(n=2**7, n_q=14, n_p=3, scale_bits=28)
+        # CI-scale bootstrapping: 15 levels (CtS 1 + EvalMod 10 + StC 1 +
+        # scale-normalize 1 + margin), sparse secret so the ModRaise
+        # overflow I stays small (SURVEY §7 cfg 5)
+        p = _mk(n=2**7, n_q=15, n_p=3, scale_bits=28)
         return dataclasses.replace(p, hamming_weight=16)
     if name == "boot_ci_deep":
         # bootstrap + compute headroom: the mid-inference-refresh CI preset

@@ -3,7 +3,7 @@ N=2^16 double-word bootstrap on the real chip (VERDICT r3 item 8).
 
 A 5-layer square-activation MLP (d=8 features) whose depth (5 matmuls + 4
 activations = 9 mults = 18 dw levels + floor) exceeds the level budget the
-input carries (level 6): the forward pass bootstraps MID-INFERENCE at every
+input carries (level 8): the forward pass bootstraps MID-INFERENCE at every
 layer boundary where the remaining budget cannot fit the next layer
 (models/mlp.py refresh=), then finishes on the refreshed chain. This welds
 the two flagship results — the 0.56 s dw bootstrap (BOOT_N16_DW.json) and
@@ -61,7 +61,7 @@ def main():
     radix = 3
     d = int(os.environ.get("DEEP_MLP_D", "8"))
     n_layers = int(os.environ.get("DEEP_MLP_LAYERS", "5"))
-    in_level = int(os.environ.get("DEEP_MLP_IN_LEVEL", "6"))
+    in_level = int(os.environ.get("DEEP_MLP_IN_LEVEL", "8"))
     params = preset("config5_boot_dw")
     w = params.scale_words
     t0 = time.time()

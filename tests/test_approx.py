@@ -4,6 +4,8 @@ backend, checked against the cleartext functions it approximates."""
 import numpy as np
 import pytest
 
+_SLOW = pytest.mark.slow
+
 from gpufhe_tpu.ciphertext import approx
 from gpufhe_tpu.ciphertext import ct as dct
 from gpufhe_tpu.ciphertext.backend import DeviceBackend
@@ -57,10 +59,11 @@ def test_sqrt(stack):
     rng = np.random.default_rng(4)
     x = rng.uniform(0.1, 1.0, size=params.slots)
     ct = _encrypt(params, chest, ctx, x, seed=5)
-    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, iters=6)))
-    assert np.abs(got - np.sqrt(x)).max() < 5e-3
+    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, iters=4)))
+    assert np.abs(got - np.sqrt(x)).max() < 2e-2
 
 
+@_SLOW
 def test_sqrt_bound_fold(stack):
     params, ctx, chest, be = stack
     rng = np.random.default_rng(6)
@@ -80,6 +83,7 @@ def test_exp(stack):
     assert rel.max() < 2e-3, rel.max()
 
 
+@_SLOW
 def test_rsqrt(stack):
     params, ctx, chest, be = stack
     rng = np.random.default_rng(20)
@@ -89,6 +93,7 @@ def test_rsqrt(stack):
     assert np.abs(got - 1.0 / np.sqrt(x)).max() < 5e-3
 
 
+@_SLOW
 def test_rsqrt_bound(stack):
     params, ctx, chest, be = stack
     rng = np.random.default_rng(22)
@@ -121,6 +126,7 @@ def layer_norm_reference(x: np.ndarray, d: int, eps: float,
     return out.reshape(-1)
 
 
+@pytest.mark.slow
 def test_layer_norm(ln_stack):
     params, ctx, chest, be = ln_stack
     d = 8
@@ -148,6 +154,7 @@ def softmax_stack():
     return params, ctx, chest, be
 
 
+@pytest.mark.slow
 def test_softmax(softmax_stack):
     params, ctx, chest, be = softmax_stack
     rng = np.random.default_rng(11)
@@ -164,6 +171,7 @@ def test_softmax(softmax_stack):
         np.abs(got - want).max(), want.max())
 
 
+@_SLOW
 def test_softmax_replicated(softmax_stack):
     """m logits tiled slots/m times: replicated= fixes the output scale."""
     params, ctx, chest, be = softmax_stack

@@ -32,6 +32,7 @@ def stack():
     return params, ctx, chest, be
 
 
+@pytest.mark.slow
 def test_attention_head(stack):
     params, ctx, chest, be = stack
     rng = np.random.default_rng(1)

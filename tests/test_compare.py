@@ -41,6 +41,16 @@ def test_sign_and_step(stack):
     s = np.real(be.decrypt_decode(cmp.sign(be, ct))[:64])
     assert np.abs(s - np.sign(x)).max() < 0.02, np.abs(s - np.sign(x)).max()
 
+
+@pytest.mark.slow
+def test_step(stack):
+    """step() is its own full composed-sign circuit (fast tier covers the
+    shared composition via test_sign_and_step; relu/abs cover the affine
+    post-maps)."""
+    params, ctx, chest, be = stack
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.08, 1.0, size=64) * rng.choice([-1.0, 1.0], size=64)
+    ct = _encrypt(params, chest, ctx, x)
     h = np.real(be.decrypt_decode(cmp.step(be, ct))[:64])
     assert np.abs(h - (x > 0)).max() < 0.02
 

@@ -39,15 +39,10 @@ def test_encrypted_logreg_inference():
 
 def test_encrypted_mlp_inference():
     """2-layer CryptoNets-style MLP (BSGS matmuls + square activation)."""
-    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations
+    from gpufhe_tpu.models.mlp import EncryptedMLP, mlp_rotations_for
 
     params = preset("ci_small")
     ctx = make_context(params)
-    chest = dkeys.keygen(
-        params, np.random.default_rng(0),
-        rotations=tuple(mlp_rotations(params.slots)),
-    )
-    be = DeviceBackend(params, ctx, chest)
 
     rng = np.random.default_rng(1)
     d_in, d_h, d_out = 12, 8, 4
@@ -55,6 +50,14 @@ def test_encrypted_mlp_inference():
     b1 = rng.normal(size=d_h) * 0.3
     w2 = rng.normal(size=(d_out, d_h)) * 0.3
     b2 = rng.normal(size=d_out) * 0.3
+    # pruned per-layer rotation set (the production path): far fewer Galois
+    # keys than the dense BSGS grid -> keygen is no longer the test's cost
+    chest = dkeys.keygen(
+        params, np.random.default_rng(0),
+        rotations=tuple(mlp_rotations_for([(w1, b1), (w2, b2)],
+                                          params.slots)),
+    )
+    be = DeviceBackend(params, ctx, chest)
     model = EncryptedMLP(be, [(w1, b1), (w2, b2)])
     assert model.levels_used == 3
 
