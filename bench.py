@@ -326,6 +326,23 @@ def main():
             "source": "BOOT_N16_DW.json (scripts/bootstrap_n16_dw.py)",
         }), flush=True)
 
+    # capstone: deep encrypted MLP inference THROUGH mid-pipeline dw
+    # bootstraps at N=2^16 (scripts/deep_mlp_n16.py) — the end-to-end weld
+    # of the bootstrap and model layers (round 4)
+    art = pathlib.Path(__file__).resolve().parent / "DEEP_MLP_N16.json"
+    if art.exists():
+        b = json.loads(art.read_text())
+        if b.get("err_ok"):
+            print(json.dumps({
+                "metric": b["metric"],
+                "value": b["value"],
+                "unit": b["unit"],
+                "layers": b["layers"],
+                "mid_inference_bootstraps": b["mid_inference_bootstraps"],
+                "logits_max_err": b["logits_max_err"],
+                "source": "DEEP_MLP_N16.json (scripts/deep_mlp_n16.py)",
+            }), flush=True)
+
     # NTT throughput (BASELINE.json's metric string names "NTT polys/s";
     # produced on this chip by scripts/ntt_bench.py, same chain methodology)
     ntt_art = pathlib.Path(__file__).resolve().parent / "NTT_N16.json"
