@@ -103,11 +103,21 @@ def key_switch_core(
 
     import os
 
-    # Measured on chip (N=2^16 L=30, genuine chain): the identity-row skip
-    # saves dnum*alpha limb-transforms but its two concats per group copy
-    # ~65 limb-planes each — 4.31 ms/mult WITH the skip vs 3.98 WITHOUT.
-    # Default off; kept selectable for re-measurement at other shapes
-    # (bigger alpha/dnum shifts the balance).
+    # Identity-row skip v2 (round 4): the group's own rows of the raised
+    # poly are the identity conversion (= d2_coeff rows exactly, rns.py
+    # modup_conv docstring), and NTT(iNTT(d2)) is bit-exact, so those rows'
+    # forward NTT IS the original eval-domain d2 — reuse it and transform
+    # only the other rows, saving dnum*alpha of the mult's limb-transforms.
+    # The round-3 version reassembled the full raised poly with a concat
+    # before one full-array MAC (two ~65-limb-plane copies per group;
+    # measured 4.31 vs 3.98 ms/mult — worse). v2 never materializes the
+    # reassembled poly: the MAC runs in three row SEGMENTS whose products
+    # are concatenated once. MEASURED round 4 (genuine chain, /tmp A/B):
+    # L=30 2.835 vs 2.823 ms (wash), dw 7.280 vs 6.393 (0.9 ms WORSE) —
+    # the segmented MAC multiplies the MAC->iNTT fusion-boundary cost the
+    # dw seam probe isolated (+1.6 ms standalone; profile_mult_stages
+    # PROFILE_SEAMS=1), eating the dnum*alpha limb-transform saving both
+    # times. Default OFF; the clean full-NTT MAC stays the production path.
     id_skip = os.environ.get("GPUFHE_MODUP_IDSKIP", "0") == "1"
     groups = ks_groups(params, level)
     acc0 = acc1 = None
@@ -119,10 +129,6 @@ def key_switch_core(
             acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
             acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
             continue
-        # the group's own rows of the raised poly are the identity conversion
-        # (= d2_coeff rows exactly, rns.py modup_conv docstring), so their
-        # forward NTT is the original NTT-domain d2 rows — reuse instead of
-        # re-transforming: saves dnum*alpha of the mult's limb-transforms
         d0, d1 = groups[d]
         other_pos = list(range(0, d0)) + list(range(d1, len(qp_idx)))
         other_limbs = [qp_idx[i] for i in other_pos]
@@ -130,9 +136,26 @@ def key_switch_core(
             jnp.concatenate([r_coeff[:d0], r_coeff[d1:]]), ctx,
             limbs=other_limbs,
         )
-        r = jnp.concatenate([r_other[:d0], d2[d0:d1], r_other[d0:]])
-        t0 = mont_mul(r, key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
-        t1 = mont_mul(r, key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
+        kb = key_rows(ksk.b_mont[d], params, level)
+        ka = key_rows(ksk.a_mont[d], params, level)
+
+        def _seg_mac(key):
+            parts = []
+            if d0:
+                parts.append(
+                    mont_mul(r_other[:d0], key[:d0], qp_q[:d0], qp_qinv[:d0])
+                )
+            parts.append(
+                mont_mul(d2[d0:d1], key[d0:d1], qp_q[d0:d1], qp_qinv[d0:d1])
+            )
+            if d1 < len(qp_idx):
+                parts.append(
+                    mont_mul(r_other[d0:], key[d1:], qp_q[d1:], qp_qinv[d1:])
+                )
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        t0 = _seg_mac(kb)
+        t1 = _seg_mac(ka)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 

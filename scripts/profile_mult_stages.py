@@ -289,6 +289,38 @@ results["rescale"] = timed_chain(f"rescale x{w}", f_rescale_chain, (x_k,),
 # -- 3. composite stages ------------------------------------------------------
 
 
+if os.environ.get("PROFILE_SEAMS", "0") == "1":
+    # seam composites (round 4, dw residual localization): each pair of
+    # adjacent key_switch stages chained as ONE program; comparing a seam
+    # against the sum of its own two leaves shows WHERE the composite's
+    # residual lives (copies/layout between those stages)
+    def f_intt_modup(x):
+        return tuple(mod_up(ntt_inv(x, ctx, limbs=q_limbs), params, k, ctx,
+                            ksc))
+
+    results["seam_intt_modup"] = timed_chain(
+        "seam iNTT+mod_up", f_intt_modup, (x_k,), chain=C_NTT)
+
+    def f_modup_ntt(x):
+        return tuple(ntt_fwd(r, ctx, limbs=qp_idx)
+                     for r in mod_up(x, params, k, ctx, ksc))
+
+    results["seam_modup_ntt"] = timed_chain(
+        f"seam mod_up+{dnum}xNTT", f_modup_ntt, (x_k,), chain=C_NTT)
+
+    def f_mac_intt_down(r_stack, kb, ka):
+        acc0, acc1 = f_mac(r_stack, kb, ka)
+        out = []
+        for acc in (acc0, acc1):
+            out.append(mod_down(ntt_inv(acc, ctx, limbs=qp_idx), params, k,
+                                ctx, ksc))
+        return tuple(out)
+
+    results["seam_mac_intt_down"] = timed_chain(
+        "seam mac+2iNTT+2down", f_mac_intt_down, (r_stack,),
+        consts=(rlk.b_mont, rlk.a_mont), chain=C_NTT)
+
+
 def f_ks(d2, kb, ka):
     from gpufhe_tpu.keys.keys import DeviceKSKey
 
@@ -356,6 +388,22 @@ print(f"#   leaves: iNTT[{k}] {results['ntt_inv_k'] * 1e3:.3f} + mod_up "
       f"{results['ks_mac'] * 1e3:.3f} + 2xiNTT[{k + alpha}] "
       f"{2 * results['ntt_inv_qp'] * 1e3:.3f} + 2xmod_down "
       f"{2 * results['mod_down'] * 1e3:.3f}", flush=True)
+
+if "seam_intt_modup" in results:
+    seams = [
+        ("iNTT+modup", "seam_intt_modup",
+         results["ntt_inv_k"] + results["mod_up"]),
+        ("modup+NTTs", "seam_modup_ntt",
+         results["mod_up"] + dnum * results["ntt_fwd_qp"]),
+        ("mac+iNTT+down", "seam_mac_intt_down",
+         results["ks_mac"] + 2 * results["ntt_inv_qp"]
+         + 2 * results["mod_down"]),
+    ]
+    for nm, key, leafsum in seams:
+        d = results[key] - leafsum
+        print(f"# seam {nm:<16s} composite {results[key] * 1e3:.3f} vs "
+              f"leaf-sum {leafsum * 1e3:.3f} -> {d * 1e3:+.3f} ms",
+              flush=True)
 
 n_limb_tf = k + dnum * (k + alpha) + 2 * (k + alpha) + 2 * k + 2 * (k - w)
 ntt_total = n_limb_tf * ntt_per_limb
