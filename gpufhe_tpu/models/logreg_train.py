@@ -100,20 +100,26 @@ class EncryptedLogRegTrainer:
         be = self.be
         floor = be.params.scale_words
         lvl = min(be.level(w) for w in w_cts)
-        if lvl - self._need < floor:
+        # reserve scale_words limbs beyond the iteration's need so the
+        # refresh can align its INPUT scale to exactly Delta first
+        # (bootstrap.py: EvalMod decodes garbage from a drifted scale);
+        # without a refresh callable there is nothing to reserve FOR
+        reserve = floor if self.refresh is not None else 0
+        if lvl - self._need < floor + reserve:
             assert self.refresh is not None, (
                 f"iteration needs {self._need} limbs above the floor {floor}; "
                 f"weights at {lvl} (pass refresh= to bootstrap mid-training)"
             )
-            # bootstrap, then land each weight EXACTLY on (level-w, Delta):
-            # the bootstrap output scale is q-chain-dependent, and the update
-            # subtractions below require exact scale matches
+            # bootstrap normalizes its output to exactly Delta
+            # (Bootstrapper._normalize); the explicit re-align only fires
+            # for a non-normalizing refresh callable
             fresh = []
             for w in w_cts:
                 w = self.refresh(w)
-                fresh.append(
-                    _align_to(be, w, be.params.scale, be.level(w) - floor)
-                )
+                if abs(w.scale / be.params.scale - 1.0) > 1e-9:
+                    w = _align_to(be, w, be.params.scale,
+                                  be.level(w) - floor)
+                fresh.append(w)
             w_cts = fresh
             self.refreshes += len(w_cts)
             lvl = min(be.level(w) for w in w_cts)

@@ -34,7 +34,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from gpufhe_tpu.ciphertext.backend import GhostBackend, GhostCiphertext
 from gpufhe_tpu.ops.context import fourstep_split

@@ -63,7 +63,6 @@ def main():
     n_layers = int(os.environ.get("DEEP_MLP_LAYERS", "5"))
     in_level = int(os.environ.get("DEEP_MLP_IN_LEVEL", "8"))
     params = preset("config5_boot_dw")
-    w = params.scale_words
     t0 = time.time()
     ctx = make_context(params)
 

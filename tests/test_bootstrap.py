@@ -76,6 +76,11 @@ def test_full_bootstrap_device():
     )
     out = bs(ct)
     assert out.level >= 2  # levels were restored
+    # production invariant (round 4): refreshed ciphertexts land at EXACTLY
+    # scale Delta, so they can chain into further encrypted compute
+    # (bootstrap.py _normalize; a drifted scale poisons the NEXT refresh's
+    # EvalMod)
+    assert abs(out.scale / params.scale - 1.0) < 1e-9, out.scale
     got = be.decrypt_decode(out)
     assert np.abs(got - z).max() < 0.02
 

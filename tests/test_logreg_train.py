@@ -101,8 +101,9 @@ def test_encrypted_training_bootstraps_mid_run():
     x, y = _dataset(rng, m, f)
     tr = EncryptedLogRegTrainer(be, n_samples=m, lr=1.0, refresh=bs)
     w0 = np.zeros(f)
-    # level 6 = exactly one iteration (5 mult levels + floor 1)
-    x_cts, y_ct, w_cts = _encrypt_cols(be, params, chest, ctx, tr, x, y, w0, 6)
+    # level 7 = exactly one iteration (5 mult levels + floor 1 + the
+    # scale-alignment reserve the refresh needs, models/logreg_train.py)
+    x_cts, y_ct, w_cts = _encrypt_cols(be, params, chest, ctx, tr, x, y, w0, 7)
     w_out = tr.fit(w_cts, x_cts, y_ct, iters=2)
     assert tr.refreshes == f, tr.refreshes
     got = np.array([float(np.real(be.decrypt_decode(w)[0])) for w in w_out])
