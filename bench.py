@@ -307,7 +307,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     preset_name = os.environ.get("BENCH_PRESET", "config5_boot")
-    chain = int(os.environ.get("BENCH_CHAIN", "32"))
+    chain = int(os.environ.get("BENCH_CHAIN", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     hbm_bw = float(os.environ.get("PEAK_HBM_GBPS", 819e9))
 

@@ -169,16 +169,28 @@ class Bootstrapper:
                     fell_back = False
                     print(f"# [fused-evalmod] live {_live_gib():.2f} GiB "
                           f"before trace", flush=True)
-                    try:
-                        out = evalp(basis(y))
-                        print(f"# [fused-evalmod] live {_live_gib():.2f} GiB "
-                              f"after fused call", flush=True)
-                        return out
-                    except Exception as e:
-                        if "RESOURCE_EXHAUSTED" not in repr(e):
-                            raise
-                        self._cheb = ev
-                        fell_back = True
+                    for attempt in (0, 1):
+                        try:
+                            out = evalp(basis(y))
+                            print(f"# [fused-evalmod] live {_live_gib():.2f}"
+                                  f" GiB after fused call", flush=True)
+                            return out
+                        except Exception as e:
+                            # the axon remote-compile tunnel drops big
+                            # requests transiently ("read body: response
+                            # body closed"); one retry re-issues the SAME
+                            # compile (trace is cached) and usually lands
+                            if (attempt == 0 and "INTERNAL" in repr(e)
+                                    and "remote_compile" in repr(e)):
+                                print("# [fused-evalmod] transient "
+                                      "remote-compile failure; retrying",
+                                      flush=True)
+                                continue
+                            if "RESOURCE_EXHAUSTED" not in repr(e):
+                                raise
+                            self._cheb = ev
+                            fell_back = True
+                            break
                     assert fell_back
                     import gc
 

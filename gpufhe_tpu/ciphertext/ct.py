@@ -263,6 +263,14 @@ def _mul_full_core(ca, cb, ctx, kscs, rlk, params):
     # right back for the rescale chain — add iNTT(d_i) + ks_i instead, which
     # is limb-bit-exact by modular linearity and saves a 2k-limb-transform
     # round trip per mult (measured ~10% of mult traffic at L=30/48)
+    # joint fence before the Pallas NTT consumers: XLA's cross-boundary
+    # optimization between a shared-input elementwise fusion and the custom
+    # calls is harmful (primitives/keyswitch.py fence note, round-4 seam
+    # bisect; same shared-producer shape here: d0/d1/d2 all read a0/a1/b*m)
+    import os as _os
+
+    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+        d0, d1, d2 = jax.lax.optimization_barrier((d0, d1, d2))
     ks0, ks1 = key_switch_core(
         d2, params, level, ctx, kscs[0], rlk, eval_out=False
     )
@@ -312,6 +320,14 @@ def _plain_mac_core(cs_list, pts, const_ntt, ctx, kscs, params):
         t1 = mont_mul(c1, pt, q, qinv)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, q)
+    # joint fence before the Pallas iNTTs (shared-producer elementwise MAC;
+    # primitives/keyswitch.py fence note)
+    import os as _os
+
+    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+        import jax as _jax
+
+        acc0, acc1 = _jax.lax.optimization_barrier((acc0, acc1))
     out = []
     for comp in (acc0, acc1):
         cc = ntt_inv(comp, ctx, limbs=list(range(level)))
@@ -500,6 +516,12 @@ def _hoisted_galois_core(raised, c0, perm, ctx, ksc, gk, params, level):
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 
+    # joint fence before the Pallas iNTTs (shared-producer MAC fusion;
+    # primitives/keyswitch.py fence note)
+    import os as _os
+
+    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+        acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
     out = []
     for acc in (acc0, acc1):
         coeff = ntt_inv(acc, ctx, limbs=qp_idx)
@@ -603,6 +625,14 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
             w0 = mont_mul(c0g, pt[:level], q, qinv)
             c0_acc[s] = w0 if c0_acc[s] is None else add_mod(c0_acc[s], w0, q)
 
+    # joint fence over ALL sets' accumulators (shared-producer MAC fusion;
+    # primitives/keyswitch.py fence note)
+    import os as _os
+
+    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+        fenced = jax.lax.optimization_barrier(tuple(acc0) + tuple(acc1))
+        acc0 = list(fenced[:nsets])
+        acc1 = list(fenced[nsets:])
     outs = []
     for s in range(nsets):
         down = [

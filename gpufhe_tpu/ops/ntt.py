@@ -180,7 +180,15 @@ def _approx_recombine() -> bool:
 def _fourstep_v3(x_mat: jnp.ndarray, ctx: Context, limbs: list, inv: bool):
     """Pipelined scalar-prefetch kernel path: FULL tables + a limb index
     vector — no host-side table gathers (ops/ntt_pallas.py v3 docstring).
-    One compiled program serves every limb selection of a given length."""
+    One compiled program serves every limb selection of a given length.
+
+    NOTE on fencing (round-4 seam bisect): XLA's cross-boundary
+    optimization between an ELEMENTWISE producer (the key-switch MAC) and
+    this Pallas custom call can cost ~1.6 ms at dw shapes. Fencing the
+    input HERE does nothing — the win only appears when the producer's
+    outputs are barriered JOINTLY at the caller (primitives/keyswitch.py
+    key_switch_core: mac+2iNTT 2.63 ms unfenced vs 1.06 with a tuple
+    optimization_barrier == the exact leaf sum)."""
     from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v3
 
     t = ctx.ntt_inv if inv else ctx.ntt_fwd

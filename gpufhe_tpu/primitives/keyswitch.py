@@ -159,6 +159,17 @@ def key_switch_core(
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 
+    # fence the MAC accumulators JOINTLY before the Pallas iNTTs: XLA's
+    # cross-boundary optimization between the elementwise MAC fusion and
+    # the custom call costs ~1.6 ms at dw shapes (round-4 seam bisect:
+    # mac+2iNTT 2.63 ms unfenced vs 1.06 fenced == the exact leaf sum; a
+    # per-input fence inside ntt_* does NOT get the win — only the joint
+    # tuple barrier does). The barrier is live (its outputs feed the
+    # transforms), so nothing is DCE'd.
+    import jax
+
+    if os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+        acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
     out = []
     for acc in (acc0, acc1):
         coeff = ntt_inv(acc, ctx, limbs=qp_idx)
