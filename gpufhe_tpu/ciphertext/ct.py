@@ -267,9 +267,9 @@ def _mul_full_core(ca, cb, ctx, kscs, rlk, params):
     # optimization between a shared-input elementwise fusion and the custom
     # calls is harmful (primitives/keyswitch.py fence note, round-4 seam
     # bisect; same shared-producer shape here: d0/d1/d2 all read a0/a1/b*m)
-    import os as _os
+    from gpufhe_tpu.primitives.keyswitch import fence_enabled
 
-    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+    if fence_enabled(params.dnum):
         d0, d1, d2 = jax.lax.optimization_barrier((d0, d1, d2))
     ks0, ks1 = key_switch_core(
         d2, params, level, ctx, kscs[0], rlk, eval_out=False
@@ -322,9 +322,9 @@ def _plain_mac_core(cs_list, pts, const_ntt, ctx, kscs, params):
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, q)
     # joint fence before the Pallas iNTTs (shared-producer elementwise MAC;
     # primitives/keyswitch.py fence note)
-    import os as _os
+    from gpufhe_tpu.primitives.keyswitch import fence_enabled
 
-    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+    if fence_enabled(params.dnum):
         import jax as _jax
 
         acc0, acc1 = _jax.lax.optimization_barrier((acc0, acc1))
@@ -518,9 +518,9 @@ def _hoisted_galois_core(raised, c0, perm, ctx, ksc, gk, params, level):
 
     # joint fence before the Pallas iNTTs (shared-producer MAC fusion;
     # primitives/keyswitch.py fence note)
-    import os as _os
+    from gpufhe_tpu.primitives.keyswitch import fence_enabled
 
-    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+    if fence_enabled(params.dnum):
         acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
     out = []
     for acc in (acc0, acc1):
@@ -627,9 +627,9 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
 
     # joint fence over ALL sets' accumulators (shared-producer MAC fusion;
     # primitives/keyswitch.py fence note)
-    import os as _os
+    from gpufhe_tpu.primitives.keyswitch import fence_enabled
 
-    if _os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+    if fence_enabled(params.dnum):
         fenced = jax.lax.optimization_barrier(tuple(acc0) + tuple(acc1))
         acc0 = list(fenced[:nsets])
         acc1 = list(fenced[nsets:])

@@ -29,6 +29,22 @@ from gpufhe_tpu.primitives.rns import KSContext, mod_down, mod_up
 from gpufhe_tpu.params.params import CKKSParams
 
 
+def fence_enabled(dnum: int) -> bool:
+    """Whether to fence shared-producer MACs before Pallas NTT consumers.
+
+    Measured (round 4, genuine chains): the joint optimization_barrier
+    recovers ~0.3 ms on the dnum=5 dw mult (the MAC boundary cost scales
+    with the number of shared-read gadget groups) but COSTS ~0.3 ms on the
+    dnum=2 BGV mult and is noise-level on dnum=2 CKKS. Auto policy: fence
+    at dnum >= 3. GPUFHE_KS_FENCE=1/0 forces either way."""
+    import os
+
+    env = os.environ.get("GPUFHE_KS_FENCE", "auto")
+    if env == "auto":
+        return dnum >= 3
+    return env == "1"
+
+
 def qp_indices(params: CKKSParams, level: int) -> list[int]:
     """Context-chain indices of the active Q-prefix + P-chain limbs."""
     alpha = len(params.p_primes)
@@ -168,7 +184,7 @@ def key_switch_core(
     # transforms), so nothing is DCE'd.
     import jax
 
-    if os.environ.get("GPUFHE_KS_FENCE", "1") == "1":
+    if fence_enabled(len(groups)):
         acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
     out = []
     for acc in (acc0, acc1):

@@ -37,7 +37,7 @@ from gpufhe_tpu.params.params import preset, make_context
 
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
-CHAIN = 16
+CHAIN = int(__import__("os").environ.get("CHAIN", "64"))  # chain=16 left +-0.6 ms of floor noise on the headline
 params = preset("bfv_n16")
 t = params.plain_modulus
 level = params.num_limbs

@@ -42,7 +42,7 @@ from gpufhe_tpu.primitives.rns import bgv_modswitch, make_ks_context
 
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
-CHAIN = 16
+CHAIN = int(__import__("os").environ.get("CHAIN", "64"))  # chain=16 left +-0.6 ms of floor noise on the headline
 # same ring/chain/t as the BFV headline so the two exact schemes compare
 # one-to-one (bfv_n16: N=2^16, L=30, t=786433, alpha=15/dnum=2)
 params = preset("bfv_n16")

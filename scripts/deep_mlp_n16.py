@@ -14,9 +14,9 @@ Configuration notes:
   * d=8 keeps the BSGS rotation-key set small (~12 keys at ~63 MB each
     once truncated to the post-bootstrap level) — the bootstrap chest alone
     holds ~9 GiB of the 16 GB chip.
-  * GPUFHE_FUSE_EVALMOD defaults OFF here: the MLP keys eat the HBM
-    headroom the fused-EvalMod trace needs (bootstrap_n16_dw.py lean-keys
-    note); the eager EvalMod costs ~+0.25 s per bootstrap and never OOMs.
+  * Fused EvalMod + lean keys (the flagship configuration) measured FITS
+    with the MLP keys aboard: 13.78 GiB peak, steady 1.087 s vs 1.12 eager.
+    GPUFHE_FUSE_EVALMOD=0 falls back to the never-OOM eager path.
   * Accuracy bar: max |logit - reference| <= 1e-2 (the dw bootstrap's
     8.5e-6 slot error times the squared-activation amplification of a
     5-layer 0.3-weight network stays well under it).
@@ -89,9 +89,13 @@ def main():
     print(f"# device keygen {time.time()-t0:.0f}s", flush=True)
 
     be = DeviceBackend(params, ctx, chest)
-    fuse = os.environ.get("GPUFHE_FUSE_EVALMOD", "0") == "1"
+    fuse = os.environ.get("GPUFHE_FUSE_EVALMOD", "1") == "1"
+    # fuse=1 pairs with lean keys exactly like the flagship (the fused
+    # EvalMod trace needs the HBM headroom; the lean drop/replay covers the
+    # MLP Galois keys too — regen_galois_a replays every seeded key)
     bs = Bootstrapper(be, transform="factored", radix_log=radix,
-                      evalmod="cheb", k_bound=10.0, fuse_evalmod=fuse)
+                      evalmod="cheb", k_bound=10.0, fuse_evalmod=fuse,
+                      lean_keys=fuse)
 
     # truncate every Galois key to the highest level it is used at:
     # bootstrap steps at their planned levels (galois_step_levels), MLP
