@@ -343,6 +343,21 @@ def main():
                 "source": "DEEP_MLP_N16.json (scripts/deep_mlp_n16.py)",
             }), flush=True)
 
+    # production single-word MLP inference (scripts/mlp_n15.py) — echoed so
+    # the working notes can never drift from the committed number (VERDICT
+    # r4 weak #5)
+    art = pathlib.Path(__file__).resolve().parent / "MLP_N15.json"
+    if art.exists():
+        b = json.loads(art.read_text())
+        print(json.dumps({
+            "metric": "encrypted_mlp_inference_N32768",
+            "value": b["steady_ms"],
+            "unit": "ms/forward (read-synced steady)",
+            "arch": b["arch"],
+            "max_logit_err": b["max_logit_err"],
+            "source": "MLP_N15.json (scripts/mlp_n15.py)",
+        }), flush=True)
+
     # NTT throughput (BASELINE.json's metric string names "NTT polys/s";
     # produced on this chip by scripts/ntt_bench.py, same chain methodology)
     ntt_art = pathlib.Path(__file__).resolve().parent / "NTT_N16.json"

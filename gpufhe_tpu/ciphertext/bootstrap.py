@@ -346,7 +346,19 @@ class Bootstrapper:
             from gpufhe_tpu.ciphertext.polyeval import _align_to
 
             ct = _align_to(be, ct, delta, be.level(ct) - w)
-        assert abs(ct.scale / delta - 1.0) < 1e-4, (
+        drift = abs(ct.scale / delta - 1.0)
+        if 1e-6 < drift < 1e-4:
+            # proceeding unaligned (no spare limbs): error ~2*pi*drift*I
+            # radians in the EvalMod sine argument — small but should be
+            # visible near the assertion threshold (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                f"bootstrap input scale drifts {drift:.2e} from Delta with "
+                f"no spare limbs to align; EvalMod error grows by "
+                f"~2*pi*{drift:.1e}*I rad — reserve scale_words limbs for "
+                f"exact alignment", RuntimeWarning, stacklevel=2)
+        assert drift < 1e-4, (
             f"bootstrap input scale {ct.scale:.6g} != Delta {delta:.6g} and "
             f"no spare limbs to align (level {be.level(ct)}); EvalMod would "
             f"decode garbage — reserve scale_words limbs before the refresh"

@@ -149,12 +149,16 @@ def plan_bootstrap(params: CKKSParams, radix_log: int, k_bound: float,
 
 @contextlib.contextmanager
 def _capture_jit():
-    """Capture the jax.jit objects a make_sharded_* constructor creates."""
+    """Capture the jax.jit objects a make_sharded_* constructor creates.
+
+    NOT reentrant and not thread-safe: jax.jit is monkeypatched globally for
+    the duration of the `with` body, so no other code may call jax.jit
+    concurrently (the planner only ever runs constructors serially)."""
     captured: list[Any] = []
     real_jit = jax.jit
 
-    def cap(fn, **kw):
-        j = real_jit(fn, **kw)
+    def cap(fn, *a, **kw):
+        j = real_jit(fn, *a, **kw)
         captured.append(j)
         return j
 

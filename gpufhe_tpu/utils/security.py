@@ -46,6 +46,23 @@ _TABLE_PATH = os.path.join(
     "security_table.json",
 )
 
+# HE-standard v1.1 published dense-ternary max log2(QP) rows (classical),
+# [128, 192, 256] bits. The calibrated estimator runs up to +3.4 bits
+# OPTIMISTIC at small N (table's calibration.dense_residuals), so dense
+# budgets take the elementwise MIN of the estimator column and this
+# published row — residuals can then only make us conservative. N=2^16 is
+# the standard's doubling extrapolation (the Lattigo/OpenFHE convention),
+# same row gen_security_table.py anchors against.
+_HE_STD_DENSE = {
+    1024: (27.0, 19.0, 14.0),
+    2048: (54.0, 37.0, 29.0),
+    4096: (109.0, 75.0, 58.0),
+    8192: (218.0, 152.0, 118.0),
+    16384: (438.0, 305.0, 237.0),
+    32768: (881.0, 611.0, 476.0),
+    65536: (1772.0, 1229.0, 954.0),
+}
+
 
 @functools.lru_cache(maxsize=1)
 def _table() -> dict:
@@ -63,8 +80,9 @@ def _caps_for(n: int, h: int) -> tuple[float, float, float] | None:
     row = _table()["caps"].get(str(n))
     if row is None:
         return None
+    dense_row = _dense_caps(n, row)
     if not h:
-        return tuple(row["dense"])
+        return dense_row
     grid = sorted(int(k) for k in row if k != "dense")
     if h <= grid[0]:
         # below the sparsest estimator point: scale its cap down linearly
@@ -76,14 +94,25 @@ def _caps_for(n: int, h: int) -> tuple[float, float, float] | None:
     # dense ternary has expected weight 2n/3: treat it as the top anchor
     h_dense = 2 * n / 3
     anchors = [(g, row[str(g)]) for g in grid if g < h_dense]
-    anchors.append((h_dense, row["dense"]))
+    anchors.append((h_dense, dense_row))
     if h >= h_dense:
-        return tuple(row["dense"])
+        return dense_row
     for (h0, c0), (h1, c1) in zip(anchors, anchors[1:]):
         if h0 <= h <= h1:
             t = (math.log2(h) - math.log2(h0)) / (math.log2(h1) - math.log2(h0))
             return tuple(a + t * (b - a) for a, b in zip(c0, c1))
-    return tuple(row["dense"])
+    return dense_row
+
+
+def _dense_caps(n: int, row: dict) -> tuple[float, float, float]:
+    """Estimator dense caps floored elementwise by the published HE-standard
+    v1.1 row (module doc: the estimator's small-N residuals are optimistic,
+    so the published table governs wherever it is stricter)."""
+    est = row["dense"]
+    std = _HE_STD_DENSE.get(n)
+    if std is None:
+        return tuple(est)
+    return tuple(min(float(a), float(b)) for a, b in zip(est, std))
 
 
 # published hybrid-attack 128-bit caps at N=2^16 (see module doc): the
@@ -96,7 +125,7 @@ def _literature_sparse_ratio(h: int) -> float:
     leave a weight-h ternary secret (anchored at N=2^16, log-linear in
     log2 h, clamped; the round-2/3 model, now used only as a CAP)."""
     anchors = sorted(_LIT_SPARSE_128_CAP_N16.items())
-    dense = float(_table()["caps"]["65536"]["dense"][0])
+    dense = float(_dense_caps(65536, _table()["caps"]["65536"])[0])
     if h <= anchors[0][0]:
         return (anchors[0][1] / dense) * (
             math.log2(max(h, 2)) / math.log2(anchors[0][0])
@@ -152,13 +181,24 @@ def check(params: CKKSParams, min_bits: int = 128) -> None:
 
 
 def report(params: CKKSParams) -> dict:
+    t = _table()
+    cal = t.get("calibration", {})
+    residual = cal.get("dense_residuals_bits_at_128", {}).get(str(params.n))
     return {
         "n": params.n,
         "log_qp": round(log_qp(params), 1),
         "max_log_qp_128": round(max_log_qp(params, 0), 1),
         "levels": params.num_limbs,
         "security_bits": security_level(params),
+        "security_bits_note": (
+            f"± {abs(residual):.1f} model-residual bits at this N; dense "
+            "budget floored by the published HE-std v1.1 row"
+            if residual is not None else
+            "ring degree below the estimator table (toy/CI size)"
+        ),
         "sparse_secret_h": params.hamming_weight or None,
         "encapsulation_eph_h": params.eph_hamming_weight or None,
         "model": "core-SVP estimator table (params/security_table.json)",
+        "table_generated": t.get("generated"),
+        "calibration_anchor": cal.get("anchor"),
     }

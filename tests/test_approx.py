@@ -55,12 +55,15 @@ def test_inverse_bound_and_out_scale(stack):
 
 
 def test_sqrt(stack):
+    """Full-iteration Goldschmidt sqrt at tight tolerance — kept in the
+    fast tier deliberately (ADVICE r4: at least one tight-tolerance
+    approximation convergence test must guard the default run)."""
     params, ctx, chest, be = stack
     rng = np.random.default_rng(4)
     x = rng.uniform(0.1, 1.0, size=params.slots)
     ct = _encrypt(params, chest, ctx, x, seed=5)
-    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, iters=4)))
-    assert np.abs(got - np.sqrt(x)).max() < 2e-2
+    got = np.real(be.decrypt_decode(approx.sqrt(be, ct, iters=6)))
+    assert np.abs(got - np.sqrt(x)).max() < 5e-3
 
 
 @_SLOW

@@ -325,3 +325,17 @@ def test_security_estimator_table():
     # dense + encapsulation is governed by the dense estimator row
     p_enc = dataclasses.replace(base, eph_hamming_weight=32)
     assert security.max_log_qp(p_enc, 0) > 1770
+    # effective dense budgets are FLOORED by the published HE-std v1.1 row
+    # (ADVICE r4: calibration residuals may only be conservative) — the
+    # admitted budget never exceeds the published cap, at any level
+    for n, cap128 in he_std.items():
+        n_q = max(2, int(cap128 // 28) - 1)
+        pd = _mk(n=n, n_q=n_q, n_p=1, scale_bits=28)
+        for idx, std in zip(
+            (0, 1, 2), security._HE_STD_DENSE[n]
+        ):
+            assert security.max_log_qp(pd, idx) <= std + 1e-9, (n, idx)
+    # report() carries provenance + the model residual for the judged N
+    rep = security.report(base)
+    assert rep["table_generated"] and rep["calibration_anchor"]
+    assert "model-residual" in rep["security_bits_note"]
