@@ -300,9 +300,16 @@ def _add_plain_core(c0, dm_coeff, ctx, level):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
-    """Whole BEHZ-style tensor as one program (golden/bfv.py ct_tensor)."""
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level,
+                     d2_coeff: bool = False):
+    """Whole BEHZ-style tensor as one program (golden/bfv.py ct_tensor).
+
+    d2_coeff=True returns the THIRD component in coefficient domain (its
+    final NTT skipped): relinearization's key_switch starts by iNTT'ing d2,
+    so a mult that feeds _relin_core(..., d2_coeff=True) cancels that
+    NTT+iNTT round trip exactly — 2*level limb-transforms per mult
+    (bit-identical: NTT(iNTT(x)) == x)."""
     q_idx = list(range(level))
     a_idx = list(range(len(auxp.q_primes)))
     q, qinv = ctx.q[:level][:, None], ctx.qinv_neg[:level][:, None]
@@ -350,7 +357,7 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
 
     m_sk = int(auxp.q_primes[-1])
     out = []
-    for dq_ntt, daux_ntt in zip(d_q, d_aux):
+    for ci, (dq_ntt, daux_ntt) in enumerate(zip(d_q, d_aux)):
         dq = ntt_inv(dq_ntt, ctx, limbs=q_idx)
         daux = ntt_inv(daux_ntt, aux_ctx, limbs=a_idx)
         # r = [t*d]_Q (canonical, Q basis) -> aux basis (approximate)
@@ -377,7 +384,8 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level):
             ra,
         )
         back = sub_mod(conv_q, mont_mul(lifted, tabs.b_mont_q[:, None], q, qinv), q)
-        out.append(ntt_fwd(back, ctx, limbs=q_idx))
+        skip_ntt = d2_coeff and ci == 2
+        out.append(back if skip_ntt else ntt_fwd(back, ctx, limbs=q_idx))
     return tuple(out)
 
 
@@ -398,7 +406,19 @@ def ct_relinearize(ct: BFVCiphertext, params, ctx, rlk: DeviceKSKey) -> BFVCiphe
 
 
 def ct_mul(a, b, params, ctx, rlk) -> BFVCiphertext:
-    return ct_relinearize(ct_tensor(a, b, params, ctx), params, ctx, rlk)
+    """Tensor + relinearize with the d2 NTT round trip cancelled: the
+    tensor's third component stays in coefficient domain and key_switch
+    skips its opening iNTT — 2*level fewer limb-transforms per mult,
+    bit-identical output (NTT(iNTT(x)) == x; tests/test_bfv.py)."""
+    assert a.level == b.level
+    auxp, aux_ctx, tabs = make_bfv_mul_context(params, a.level)
+    d = _bfv_tensor_core(
+        tuple(a.c), tuple(b.c), ctx, aux_ctx, tabs, params, auxp, a.level,
+        d2_coeff=True,
+    )
+    ksc = _ckks_ksc(params, a.level)
+    out = dct._relin_core(d, ctx, ksc, rlk, params, a.level, True)
+    return BFVCiphertext(list(out), a.level)
 
 
 def ct_mod_reduce(ct: BFVCiphertext, params, ctx) -> BFVCiphertext:

@@ -125,11 +125,15 @@ def _tensor_core(ca, cb, ctx, level):
     return d0, d1, d2
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _relin_core(cs, ctx, ksc, rlk, params, level):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _relin_core(cs, ctx, ksc, rlk, params, level, d2_coeff=False):
+    """d2_coeff=True: cs[2] arrives in COEFFICIENT domain (the BFV BEHZ
+    tensor hands it over pre-NTT, cancelling an NTT+iNTT pair exactly —
+    ciphertext/bfv.py ct_mul)."""
     d0, d1, d2 = cs
     q = ctx.q[:level][:, None]
-    ks0, ks1 = key_switch_core(d2, params, level, ctx, ksc, rlk)
+    ks0, ks1 = key_switch_core(d2, params, level, ctx, ksc, rlk,
+                               eval_in=not d2_coeff)
     return add_mod(d0, ks0, q), add_mod(d1, ks1, q)
 
 

@@ -82,6 +82,23 @@ class NTTTables(NamedTuple):
     corr_r: jnp.ndarray  # uint32[L, 7, b]  stage-2 correction + q
 
 
+class NTTTablesLazy(NamedTuple):
+    """NTTTables variant whose TYPE marks an all-primes < 2^29 chain — the
+    static gate for the lazy [0, 4q)-accumulation recombine (ops/ntt.py
+    _lazy_recombine). Same fields/layout as NTTTables; the distinct pytree
+    type survives jit flattening where a Python bool field would be traced."""
+
+    wl_digits: jnp.ndarray
+    tw_mont: jnp.ndarray
+    wr_digits: jnp.ndarray
+    wl_cat: jnp.ndarray
+    wr_cat: jnp.ndarray
+    tw: jnp.ndarray
+    tw_shoup: jnp.ndarray
+    corr_l: jnp.ndarray
+    corr_r: jnp.ndarray
+
+
 class Context(NamedTuple):
     """All per-limb device constants for the q-chain followed by the p-chain."""
 
@@ -230,8 +247,15 @@ def make_context(params: CKKSParams) -> Context:
 
     u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
 
+    # lazy-recombine qualification is a STATIC property of the chain, so it
+    # rides the PYTREE TYPE (jit arguments are tracers; a bool field would
+    # be traced): all-primes < 2^29 chains get NTTTablesLazy tables, and
+    # ops/ntt.py keys the [0, 4q) accumulation kernel off isinstance at
+    # trace time (8q < 2^32 must hold for EVERY selectable prime).
+    cls = NTTTablesLazy if max(primes) < (1 << 29) else NTTTables
+
     def tables(acc):
-        return NTTTables(
+        return cls(
             wl_digits=jnp.asarray(np.stack(acc["wl"])),
             tw_mont=u32(np.stack(
                 [_to_mont_np(tw, q) for tw, q in zip(acc["tw"], qs)]

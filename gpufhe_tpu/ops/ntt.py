@@ -177,6 +177,25 @@ def _approx_recombine() -> bool:
     return os.environ.get("GPUFHE_NTT_RECOMBINE", "approx") != "shoup"
 
 
+def _lazy_recombine(tables) -> bool:
+    """Round-5 [0, 4q) lazy-accumulation recombine (bit-exact, 6 fewer VPU
+    ops per tap): requires 8q < 2^32 for EVERY prime the compiled v3
+    program may select, i.e. the whole table chain under 2^29. The v3
+    kernel takes full tables + a limb index, so the gate is per-chain and
+    STATIC — it rides the tables' pytree type (ops/context.py
+    NTTTablesLazy), which make_context sets from the concrete primes.
+    GPUFHE_NTT_LAZY=0 disables for A/B; =1 asserts the chain qualifies."""
+    from gpufhe_tpu.ops.context import NTTTablesLazy
+
+    env = os.environ.get("GPUFHE_NTT_LAZY", "auto")
+    if env == "0" or not _approx_recombine():
+        return False
+    ok = isinstance(tables, NTTTablesLazy)
+    if env == "1":
+        assert ok, "GPUFHE_NTT_LAZY=1 but a chain prime is >= 2^29"
+    return ok
+
+
 def _fourstep_v3(x_mat: jnp.ndarray, ctx: Context, limbs: list, inv: bool):
     """Pipelined scalar-prefetch kernel path: FULL tables + a limb index
     vector — no host-side table gathers (ops/ntt_pallas.py v3 docstring).
@@ -199,6 +218,8 @@ def _fourstep_v3(x_mat: jnp.ndarray, ctx: Context, limbs: list, inv: bool):
         x_mat, idx, t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l,
         t.corr_r, ctx.q, ctx.digit_plain, ctx.digit_shoup,
         approx=_approx_recombine(),
+        lazy=_lazy_recombine(t) and os.environ.get(
+            "GPUFHE_NTT_MODE", "mono") == "mono",
         # mono measured FASTEST on chip at N=2^16 L=30 (5.81 us/limb-tf vs
         # pipe 7.09, zip 6.92): Mosaic already overlaps MXU dots with the
         # VPU recombine as much as it will; the explicit pipeline/zip

@@ -180,6 +180,33 @@ def _recombine_taps_approx(taps, corr, dmp, dms, q, col: bool):
     return s
 
 
+def _recombine_taps_approx_lazy(taps, corr, dmp, dms, q, col: bool):
+    """Round-5 q < 2^29 recombine: [0, 4q) terms, ONE conditional subtract
+    per tap. Result in [0, 4q).
+
+    With every prime under 2^29 the [0, 4q) output of _shoup_approx can be
+    accumulated DIRECTLY — s, c in [0, 4q) gives s + c in [0, 8q) < 2^32,
+    so a single conditional subtract of 4q per tap replaces the approx
+    path's two-step reduce (per-tap subtract back to [0, 2q) plus the
+    accumulator's own lazy subtract): 6 fewer VPU ops per tap. Bit-exact
+    with _recombine_taps: every term is congruent mod q and the caller
+    canonicalizes from [0, 4q) with two conditional subtracts (stage-1
+    results skip even that — the twiddle _shoup_approx takes any u32).
+    VERDICT r4 item 2 (the identified, previously untried ~10% lever)."""
+    four_q = q * np.uint32(4)  # < 2^31: exact for q < 2^29
+    s = None
+    for t in range(7):
+        u = taps[t].astype(jnp.uint32) + (corr[t][None, :] if col else corr[t][:, None])
+        if t == 0:
+            c = u  # [0, q + 2^23) subset [0, 4q) — multiplier-free
+        else:
+            b0 = dms[t] & np.uint32(0xFFFF)
+            b1 = dms[t] >> np.uint32(16)
+            c = _shoup_approx(u, dmp[t], b0, b1, q)  # [0, 4q)
+        s = c if s is None else _lazy_sub(s + c, four_q)
+    return s
+
+
 def _offset_digits_cat(x, axis: int):
     """u32[a, b] -> i8 offset digits, concatenated along `axis`.
 
@@ -211,11 +238,13 @@ def _recombine_taps(taps, corr, dmp, dms, q, col: bool):
 
 def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
                       twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
-                      approx: bool = False):
+                      approx: bool = False, lazy: bool = False):
+    assert approx or not lazy, "lazy recombine builds on the approx taps"
     q = q_ref[li]
     dmp = [dmp_ref[li, t] for t in range(7)]
     dms = [dms_ref[li, t] for t in range(7)]
-    recombine = _recombine_taps_approx if approx else _recombine_taps
+    recombine = (_recombine_taps_approx_lazy if lazy
+                 else _recombine_taps_approx if approx else _recombine_taps)
     x = x_ref[i]  # u32[a, b]
     a = x.shape[0]
     b = x.shape[1]
@@ -263,11 +292,14 @@ def _fourstep_body_v2(i, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref, tw_ref,
             taps2[t] = blk if taps2[t] is None else taps2[t] + blk
     cr = [cr_ref[i, t] for t in range(7)]
     c_mat = recombine(taps2, cr, dmp, dms, q, col=True)
+    if lazy:
+        c_mat = _lazy_sub(c_mat, q + q)  # [0, 4q) -> [0, 2q)
     c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)  # canonical [0, q)
     o_ref[i] = c_mat.T
 
 
-def _make_fourstep_kernel_v2(interleave: int, approx: bool = False):
+def _make_fourstep_kernel_v2(interleave: int, approx: bool = False,
+                             lazy: bool = False):
     """interleave > 1 runs that many limbs per grid step: their dot/recombine
     chains are independent, so the VLIW scheduler can overlap one limb's MXU
     dots with another's VPU recombine."""
@@ -279,12 +311,13 @@ def _make_fourstep_kernel_v2(interleave: int, approx: bool = False):
             _fourstep_body_v2(
                 i, g * interleave + i, q_ref, dmp_ref, dms_ref, x_ref, wl_ref,
                 tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref, approx=approx,
+                lazy=lazy,
             )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "approx"))
+@functools.partial(jax.jit, static_argnames=("interpret", "approx", "lazy"))
 def fourstep_pallas_v2(
     x: jnp.ndarray,
     wl_cat: jnp.ndarray,
@@ -298,6 +331,7 @@ def fourstep_pallas_v2(
     digit_shoup: jnp.ndarray,
     interpret: bool = False,
     approx: bool = False,
+    lazy: bool = False,
 ) -> jnp.ndarray:
     """Fused four-step core v2: one stacked digit dot per W plane, offset
     (carry-free) runtime digits, Shoup tap/twiddle reduction with lazy
@@ -315,7 +349,7 @@ def fourstep_pallas_v2(
     sm = pltpu.SMEM
     with _staged_kernel_trace():
         return pl.pallas_call(
-            _make_fourstep_kernel_v2(il, approx=approx),
+            _make_fourstep_kernel_v2(il, approx=approx, lazy=lazy),
             grid=(L // il,),
             in_specs=[
                 pl.BlockSpec(memory_space=sm),  # q [L]
@@ -545,7 +579,7 @@ def _make_fourstep_kernel_v3_zip(approx: bool):
     return kernel
 
 
-def _make_fourstep_kernel_v3_mono(L: int, approx: bool):
+def _make_fourstep_kernel_v3_mono(L: int, approx: bool, lazy: bool = False):
     """Monolithic v3 body: scalar-prefetch table indexing, NO pipeline —
     all stages for limb g run at grid step g (the v2 body with idx-driven
     block maps). A/B baseline isolating the gather elimination from the
@@ -557,12 +591,13 @@ def _make_fourstep_kernel_v3_mono(L: int, approx: bool):
         li = idx_ref[g]
         _fourstep_body_v2(0, li, q_ref, dmp_ref, dms_ref, x_ref, wl_ref,
                           tw_ref, twsh_ref, wr_ref, cl_ref, cr_ref, o_ref,
-                          approx=approx)
+                          approx=approx, lazy=lazy)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "approx", "mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "approx", "mode", "lazy"))
 def fourstep_pallas_v3(
     x: jnp.ndarray,
     limb_idx: jnp.ndarray,
@@ -578,9 +613,13 @@ def fourstep_pallas_v3(
     interpret: bool = False,
     approx: bool = True,
     mode: str = "mono",
+    lazy: bool = False,
 ) -> jnp.ndarray:
     """Pipelined four-step core v3: scalar-prefetch limb indexing + MXU/VPU
     software pipeline. Bit-exact with v2 and the jnp path (tests/test_ops).
+    lazy=True (mono only) uses the q < 2^29 [0, 4q) accumulation recombine
+    (_recombine_taps_approx_lazy) — valid ONLY when every prime the program
+    may select satisfies 8q < 2^32 (ops/ntt.py gates on the full table).
 
     Tables arrive FULL (all T primes); `limb_idx` i32[L] selects each grid
     step's rows via scalar-prefetch-driven BlockSpec index maps — the DMA
@@ -597,6 +636,7 @@ def fourstep_pallas_v3(
         pl.BlockSpec(memory_space=sm),  # digit_shoup [T, 7]
     ]
 
+    assert not (lazy and mode != "mono"), "lazy recombine: mono kernel only"
     if mode == "zip":
         # two limbs per grid step, ops zipped in trace order; odd L pads
         # with a repeat of the last limb (one wasted limb-transform)
@@ -678,7 +718,7 @@ def fourstep_pallas_v3(
         ] if pipeline else [],
     )
     kern = (_make_fourstep_kernel_v3(L, approx) if pipeline
-            else _make_fourstep_kernel_v3_mono(L, approx))
+            else _make_fourstep_kernel_v3_mono(L, approx, lazy=lazy))
     with _staged_kernel_trace():
         return pl.pallas_call(
             kern,

@@ -445,6 +445,16 @@ def preset(name: str) -> CKKSParams:
         # ample: log QP = 45*28 ~ 1260 << 1772 (128-bit at N=2^16, dense
         # secret; tests/test_models_utils.py::test_security_accounting).
         return _mk(n=2**16, n_q=30, n_p=15, scale_bits=28)
+    if name == "config5_boot_s29":
+        # config5_boot with the WHOLE chain under 2^29 (q0/P drawn from the
+        # 29-bit class instead of 30): enables the lazy [0, 4q)-accumulation
+        # NTT recombine (ops/ntt_pallas.py _recombine_taps_approx_lazy,
+        # gated by ops/context.py NTTTablesLazy — 8q < 2^32 must hold for
+        # every prime). Security strictly improves (log QP shrinks ~16
+        # bits); the 29-bit q0 costs ~1 bit of decryption margin, irrelevant
+        # at Delta=2^28 slot noise. VERDICT r4 item 2.
+        return _mk(n=2**16, n_q=30, n_p=15, scale_bits=28, q0_bits=29,
+                   p_bits=29)
     if name == "config5_boot_h":
         # bootstrappable config 5: sparse secret keeps the ModRaise overflow
         # small in the EvalMod sine range; BALANCED prime chain so scale

@@ -92,6 +92,7 @@ def key_switch_core(
     ksc: KSContext,
     ksk: DeviceKSKey,
     eval_out: bool = True,
+    eval_in: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Switch one NTT-domain poly u32[K, N] to the target key's secret.
 
@@ -101,13 +102,17 @@ def key_switch_core(
     immediately iNTT the sum (the fused mult's rescale chain) instead add
     in coefficient domain, cancelling a full NTT+iNTT round trip per
     component exactly (modular linearity: iNTT(d + NTT(ks)) == iNTT(d) + ks
-    mod q, limb-bit-exact).
+    mod q, limb-bit-exact). With eval_in=False, d2 arrives ALREADY in
+    coefficient domain and the initial iNTT is skipped — producers whose
+    last step would be an NTT back to eval domain (the BFV BEHZ tensor's
+    d2, ciphertext/bfv.py) hand the coefficient form over directly,
+    cancelling that NTT+iNTT pair exactly (NTT(iNTT(x)) is bit-exact).
     """
     k = level
     qp_idx = qp_indices(params, level)
     q_idx = list(range(k))
 
-    d2_coeff = ntt_inv(d2, ctx, limbs=q_idx)
+    d2_coeff = ntt_inv(d2, ctx, limbs=q_idx) if eval_in else d2
     raised = mod_up(d2_coeff, params, level, ctx, ksc)
 
     qp_q = ctx.q[np.asarray(qp_idx)][:, None]
@@ -134,7 +139,8 @@ def key_switch_core(
     # dw seam probe isolated (+1.6 ms standalone; profile_mult_stages
     # PROFILE_SEAMS=1), eating the dnum*alpha limb-transform saving both
     # times. Default OFF; the clean full-NTT MAC stays the production path.
-    id_skip = os.environ.get("GPUFHE_MODUP_IDSKIP", "0") == "1"
+    id_skip = (os.environ.get("GPUFHE_MODUP_IDSKIP", "0") == "1"
+               and eval_in)  # the skip reuses the EVAL-domain d2
     groups = ks_groups(params, level)
     acc0 = acc1 = None
     for d, r_coeff in enumerate(raised):

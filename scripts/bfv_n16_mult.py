@@ -75,10 +75,13 @@ def step_chain(a0, a1, b0, b1):
     # both operands vary, nothing can be DCE'd or hoisted
     def body(_, carry):
         c0, c1, d0, d1 = carry
+        # d2 stays in coefficient domain across the tensor->relin boundary
+        # (the cancelled NTT round trip, bfv.py ct_mul)
         d = dbfv._bfv_tensor_core(
-            (c0, c1), (d0, d1), ctx, aux_ctx, tabs, params, auxp, level
+            (c0, c1), (d0, d1), ctx, aux_ctx, tabs, params, auxp, level,
+            d2_coeff=True,
         )
-        r0, r1 = dct._relin_core(d, ctx, ksc, rlk, params, level)
+        r0, r1 = dct._relin_core(d, ctx, ksc, rlk, params, level, True)
         return (r0, r1, c0, c1)
 
     return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))

@@ -88,8 +88,10 @@ def _body_variant(variant: str):
         x = x_ref[i]
         a = x.shape[0]
         b = x.shape[1]
-        recomb = (npal._recombine_taps_approx if variant == "full_approx"
+        recomb = (npal._recombine_taps_approx_lazy if variant == "full_lazy"
+                  else npal._recombine_taps_approx if variant == "full_approx"
                   else npal._recombine_taps)
+        approx_tw = variant in ("full_approx", "full_lazy")
 
         # ---- stage 1 taps ----
         if variant == "no_dots":
@@ -134,7 +136,7 @@ def _body_variant(variant: str):
         else:
             a_mat = recomb(taps, cl, dmp, dms, q, col=False)
 
-        if variant == "full_approx":
+        if approx_tw:
             tws = twsh_ref[i]
             b_mat = npal._shoup_approx(a_mat, tw_ref[i],
                                        tws & np.uint32(0xFFFF),
@@ -163,6 +165,8 @@ def _body_variant(variant: str):
             c_mat = taps2[0].astype(jnp.uint32)
         else:
             c_mat = recomb(taps2, cr, dmp, dms, q, col=True)
+            if variant == "full_lazy":
+                c_mat = npal._lazy_sub(c_mat, q + q)  # [0, 4q) -> [0, 2q)
             c_mat = jnp.where(c_mat >= q, c_mat - q, c_mat)
         o_ref[i] = c_mat if variant == "no_transpo" else c_mat.T
 
@@ -247,13 +251,20 @@ def timed(variant: str):
 
 VARIANTS = ["full", "full_approx", "no_recomb", "dots_only", "no_dots",
             "no_transpo"]
+if max(params.q_primes[:k]) < (1 << 29):
+    # the lazy [0, 4q)-accumulation recombine is only valid (and only
+    # interesting) on an all-sub-2^29 chain (config5_boot_s29)
+    VARIANTS.insert(2, "full_lazy")
 res = {v: round(timed(v) * 1e6, 3) for v in VARIANTS}
 out = {
     "metric": "ntt_kernel_ablation_us_per_limb_transform",
     "preset": PRESET, "n": n, "limbs": k, "chain": CHAIN,
     "variants": res,
-    "note": "timing-only variants; only full/full_approx are bit-correct",
+    "note": "timing-only variants; only full/full_approx (and full_lazy on "
+            "sub-2^29 chains) are bit-correct",
 }
 print(json.dumps(out), flush=True)
-with open("NTT_ABLATE.json", "w") as f:
+name = ("NTT_ABLATE.json" if PRESET == "config5_boot"
+        else f"NTT_ABLATE_{PRESET}.json")
+with open(name, "w") as f:
     json.dump(out, f, indent=1)

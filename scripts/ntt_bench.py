@@ -53,6 +53,10 @@ if os.environ.get("GPUFHE_NTT_V1") == "1":
     kern = "v1"
 elif os.environ.get("GPUFHE_NTT_KERNEL", "v3") == "v3":
     kern = "v3-" + os.environ.get("GPUFHE_NTT_MODE", "mono")
+    from gpufhe_tpu.ops.ntt import _lazy_recombine
+
+    if _lazy_recombine(ctx.ntt_fwd):
+        kern += "-lazy"
 else:
     kern = "v2"
 print(f"# {PRESET}: N={n} limbs={k} chain={CHAIN} kernel={kern}", flush=True)
@@ -145,8 +149,10 @@ result = {
 # (profile_mult_stages: fwd[30] 6.4 vs fwd[45] 6.3 with tie overhead;
 # this bench 5.8 without).
 try:
+    abl_name = ("NTT_ABLATE.json" if PRESET == "config5_boot"
+                else f"NTT_ABLATE_{PRESET}.json")
     abl = json.loads(
-        (pathlib.Path(__file__).resolve().parents[1] / "NTT_ABLATE.json")
+        (pathlib.Path(__file__).resolve().parents[1] / abl_name)
         .read_text()
     )["variants"]
     sol_us = max(abl["no_dots"], abl["dots_only"])
@@ -166,7 +172,9 @@ print(json.dumps(result), flush=True)
 if t_pass - t_floor < 0.5 * t_floor:
     print("# REFUSING artifact: pass is floor-dominated (raise CHAIN)",
           flush=True)
-elif kern in ("v2", "v3-mono") and k == params.num_limbs:
-    (pathlib.Path(__file__).resolve().parents[1] / "NTT_N16.json").write_text(
+elif (kern == "v2" or kern.startswith("v3-mono")) and k == params.num_limbs:
+    art = ("NTT_N16.json" if PRESET == "config5_boot"
+           else f"NTT_N16_{PRESET}.json")
+    (pathlib.Path(__file__).resolve().parents[1] / art).write_text(
         json.dumps(result) + "\n"
     )

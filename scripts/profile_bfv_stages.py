@@ -175,6 +175,101 @@ def f_tensor_pair(x, y):
 results["bfv_tensor"] = timed_chain("bfv_tensor (full BEHZ)", f_tensor_pair,
                                     (a0, a1))
 
+# ---- bfv_tensor INTERNAL decomposition (VERDICT r4 item 4) -----------------
+# bfv_tensor = 4x to_aux + tensor_q + tensor_aux + 3x per-output round block
+# (iNTT_q + iNTT_aux + round_mid + NTT_q); every leaf its own chained program
+from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, sub_mod
+
+results["intt_aux"] = timed_chain(
+    "intt_aux[34]", lambda y: ntt_inv(y, aux_ctx, limbs=a_idx), (x_aux,),
+    chain=C_LEAF)
+results["ntt_q"] = timed_chain(
+    "ntt_q[30]", lambda x: ntt_fwd(x, ctx, limbs=q_idx), (a0,), chain=C_LEAF)
+
+_q = ctx.q[:level][:, None]
+_qinv = ctx.qinv_neg[:level][:, None]
+_r2 = ctx.r2[:level][:, None]
+_aq = aux_ctx.q[:, None]
+_aqinv = aux_ctx.qinv_neg[:, None]
+_ar2 = aux_ctx.r2[:, None]
+
+
+def f_tensor_q(x, y):
+    # the 6-elementwise-pass one-sided-Montgomery tensor over the Q basis
+    # (bfv.py _bfv_tensor_core `tensor`); returns all three components
+    y0m = mont_mul(y, _r2, _q, _qinv)
+    y1m = mont_mul(x, _r2, _q, _qinv)
+    d0 = mont_mul(x, y0m, _q, _qinv)
+    d1 = add_mod(mont_mul(x, y1m, _q, _qinv), mont_mul(y, y0m, _q, _qinv), _q)
+    d2 = mont_mul(y, y1m, _q, _qinv)
+    return d0, d1, d2
+
+
+def f_tensor_aux(u):
+    y0m = mont_mul(u, _ar2, _aq, _aqinv)
+    y1m = mont_mul(u, _ar2, _aq, _aqinv)
+    d0 = mont_mul(u, y0m, _aq, _aqinv)
+    d1 = add_mod(mont_mul(u, y1m, _aq, _aqinv), mont_mul(u, y0m, _aq, _aqinv),
+                 _aq)
+    d2 = mont_mul(u, y1m, _aq, _aqinv)
+    return d0, d1, d2
+
+
+results["tensor_q_elem"] = timed_chain("tensor_q (6 passes)", f_tensor_q,
+                                       (a0, a1), chain=C_LEAF)
+results["tensor_aux_elem"] = timed_chain("tensor_aux (6 passes)",
+                                         f_tensor_aux, (x_aux,),
+                                         chain=C_LEAF)
+
+_m_sk = int(auxp.q_primes[-1])
+
+
+def f_round_mid(dq, daux):
+    """Per-output scaling/rounding block between the iNTTs and the final
+    NTT_q (bfv.py _bfv_tensor_core loop body, coeff-domain in/out)."""
+    r = mont_mul(dq, tabs.t_mont_q[:, None], _q, _qinv)
+    r_aux = f_q2aux(r)
+    td = mont_mul(daux, tabs.t_mont_aux[:, None], _aq, _aqinv)
+    y = mont_mul(sub_mod(td, r_aux, _aq), tabs.qinv_mont_aux[:, None], _aq,
+                 _aqinv)
+    conv_sk = _base_convert_shoup(
+        y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
+        tabs.b2msk_conv_plain, tabs.b2msk_conv_shoup, aux_ctx.q[-1:],
+    )[0]
+    alpha = mont_mul(
+        sub_mod(conv_sk, y[-1], aux_ctx.q[-1]),
+        tabs.binv_mont_msk[0], aux_ctx.q[-1], aux_ctx.qinv_neg[-1],
+    )
+    conv_q = f_b2q(y)
+    ra = barrett_reduce_u32(alpha[None, :], _q)
+    lifted = jnp.where(
+        alpha[None, :] > jnp.uint32(_m_sk // 2),
+        sub_mod(ra, tabs.msk_mod_q[:, None], _q), ra,
+    )
+    return sub_mod(conv_q, mont_mul(lifted, tabs.b_mont_q[:, None], _q,
+                                    _qinv), _q)
+
+
+results["round_mid"] = timed_chain("round_mid (scale+SK-convert)",
+                                   f_round_mid, (a0, x_aux), chain=C_LEAF)
+
+# the narrow Shenoy-Kumaresan B -> m_sk conversion alone (33 -> 1 limbs)
+results["conv_b2msk"] = timed_chain(
+    "conv b->msk (Shoup, 33->1)",
+    lambda y: _base_convert_shoup(
+        y[:-1], aux_ctx.q[:-1], aux_ctx.qinv_neg[:-1], tabs.b_qhatinv,
+        tabs.b2msk_conv_plain, tabs.b2msk_conv_shoup, aux_ctx.q[-1:],
+    ), (x_aux,), chain=C_LEAF)
+
+tensor_recon = (4 * results["to_aux_full"]
+                + results["tensor_q_elem"] + results["tensor_aux_elem"]
+                + 3 * (results["intt_q"] + results["intt_aux"]
+                       + results["round_mid"] + results["ntt_q"]))
+print(f"# bfv_tensor {results['bfv_tensor']*1e3:.3f} ms; leaf recon "
+      f"{tensor_recon*1e3:.3f} ms "
+      f"(residual {(results['bfv_tensor']-tensor_recon)*1e3:+.3f})",
+      flush=True)
+
 
 def f_relin(d2):
     return dct._relin_core((a0, a1, d2), ctx, ksc, rlk, params, level)
@@ -184,22 +279,30 @@ results["relin"] = timed_chain("relin (ckks ks)", f_relin, (a1,))
 
 
 def f_mul(x, y):
+    # the PRODUCTION path (bfv.py ct_mul): d2 crosses the tensor->relin
+    # boundary in coefficient domain, cancelling an NTT+iNTT pair
     d = dbfv._bfv_tensor_core((x, y), (y, x), ctx, aux_ctx, tabs, params,
-                              auxp, level)
-    return dct._relin_core(d, ctx, ksc, rlk, params, level)
+                              auxp, level, d2_coeff=True)
+    return dct._relin_core(d, ctx, ksc, rlk, params, level, True)
 
 
 results["bfv_mul_full"] = timed_chain("bfv mult+relin", f_mul, (a0, a1))
 
-recon = results["bfv_tensor"] + results["relin"]
+# the separately-measured tensor and relin leaves each still carry their
+# half of the cancelled d2 round trip — subtract it from the recon
+recon = (results["bfv_tensor"] + results["relin"]
+         - results["intt_q"] - results.get("ntt_q", results["intt_q"]))
 print(f"# bfv_mul_full {results['bfv_mul_full']*1e3:.3f} ms; tensor+relin "
-      f"= {recon*1e3:.3f} ms "
+      f"- d2 roundtrip = {recon*1e3:.3f} ms "
       f"(residual {(results['bfv_mul_full']-recon)*1e3:+.3f})", flush=True)
 out = {"stages_ms": {k: round(v * 1e3, 4) for k, v in results.items()},
        # stage-sum SoL for the BFV mult (tensor and relin each measured as
        # their own chained one-jit programs; bfv_n16_mult.py reads this as
        # the vs_baseline denominator)
        "recon_ms": round(recon * 1e3, 4),
+       "tensor_recon_ms": round(tensor_recon * 1e3, 4),
+       "tensor_recon": "4*to_aux_full + tensor_q_elem + tensor_aux_elem + "
+                       "3*(intt_q + intt_aux + round_mid + ntt_q)",
        "chains": {"composite": CHAIN, "leaf": C_LEAF},
        "pipeline": "MXU digit conversions (ops/convert_pallas.py)"}
 print(json.dumps(out), flush=True)

@@ -236,6 +236,53 @@ def test_pallas_v2_kernel_matches_xla_path(direction, approx):
 
 
 @pytest.mark.parametrize("direction", ["fwd", "inv"])
+def test_pallas_v3_lazy_recombine_matches_xla_path(direction):
+    """The q < 2^29 lazy [0, 4q)-accumulation recombine (round 5) is
+    bit-exact with the jnp path on a sub-2^29 chain, and make_context's
+    pytree-type gate (NTTTablesLazy) fires exactly when the chain
+    qualifies."""
+    import dataclasses
+
+    from gpufhe_tpu.ops.context import NTTTablesLazy, fourstep_split
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from gpufhe_tpu.ops.ntt_pallas import fourstep_pallas_v3
+
+    base = preset("tiny2")
+    two_n = 2 * base.n
+    params = dataclasses.replace(
+        base, q_primes=tuple(gen_ntt_primes(28, two_n, 4)),
+        p_primes=tuple(gen_ntt_primes(28, two_n, 2, skip=4)),
+    )
+    assert max(params.q_primes + params.p_primes) < (1 << 29)
+    ctx = make_context(params)
+    assert isinstance(ctx.ntt_fwd, NTTTablesLazy)  # the static gate
+    assert not isinstance(make_context(base).ntt_fwd, NTTTablesLazy)
+    primes = params.q_primes + params.p_primes
+    n = params.n
+    n1, n2 = fourstep_split(n)
+    sel = [4, 1, 2]
+    x = np.stack([RNG.integers(0, primes[i], size=n, dtype=np.int64)
+                  for i in sel])
+    if direction == "fwd":
+        want = np.asarray(ntt_fwd(_u32(x), ctx, limbs=sel))
+        t = ctx.ntt_fwd
+        xm = _u32(x).reshape(len(sel), n1, n2)
+    else:
+        want = np.asarray(ntt_inv(_u32(x), ctx, limbs=sel))
+        t = ctx.ntt_inv
+        xm = _u32(x).reshape(len(sel), n2, n1)
+    got = np.asarray(
+        fourstep_pallas_v3(
+            xm, jnp.asarray(np.asarray(sel, dtype=np.int32)),
+            t.wl_cat, t.tw, t.tw_shoup, t.wr_cat, t.corr_l, t.corr_r,
+            ctx.q, ctx.digit_plain, ctx.digit_shoup, interpret=True,
+            approx=True, mode="mono", lazy=True,
+        )
+    ).reshape(len(sel), n)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("direction", ["fwd", "inv"])
 @pytest.mark.parametrize("mode", ["mono", "zip", "pipe"])
 def test_pallas_v3_kernel_matches_xla_path(direction, mode):
     """Scalar-prefetch four-step v3 (interpret mode on CPU) vs the jnp path:
