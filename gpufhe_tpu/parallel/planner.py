@@ -227,10 +227,12 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         with _capture_jit() as caps:
             run, prepare = sh.make_sharded_mult(params, k, mesh)
         ks, gmax = prepare(fake_key)
+        alpha_n = len(params.p_primes)
         lowered = caps[-1].lower(
             ct_c, ct_c, ct_c, ct_c,
             jax.ShapeDtypeStruct((k,), jnp.uint32),
-            *_mult_tables_sds(params, k),
+            _full_tables_sds(params),
+            _idx_sds(k), _idx_sds(k + alpha_n), _idx_sds(k - 1),
             _sds(ks),
         )
         meta["key_bytes_per_device"] = tree_bytes(
@@ -249,9 +251,11 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         pt0 = tuple(
             jax.ShapeDtypeStruct((k + alpha, n1, n2), jnp.uint32) if has
             else None for has in pt0_mask)
-        t_q, t_qp, t_out, resc = _fan_tables_sds(params, k)
+        resc = _fan_resc_sds(params, k)
         lowered = caps[-1].lower(
-            ct_c, ct_c, lins, t_q, t_qp, t_out, _sds(shared), resc,
+            ct_c, ct_c, lins, _full_tables_sds(params),
+            _idx_sds(k), _idx_sds(k + alpha), _idx_sds(k - params.scale_words),
+            _sds(shared), resc,
             _sds(stacks), tuple(pt for _ in range(n_sets)), pt0)
         meta["key_bytes_per_device"] = tree_bytes(
             stacks, 1 / (n_limb * n_coeff))
@@ -267,7 +271,8 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         lowered = caps[-1].lower(
             ct_c, ct_c, _sds(jnp.asarray(send_idx)),
             _sds(jnp.asarray(src_of)), _sds(jnp.asarray(col_idx)),
-            *_galois_tables_sds(params, k), _sds(ks))
+            _full_tables_sds(params), _idx_sds(k), _idx_sds(k + alpha),
+            _sds(ks))
         meta["key_bytes_per_device"] = tree_bytes(
             (ks.key_b, ks.key_a), 1 / (n_limb * n_coeff))
     elif prog.kind == "rescale":
@@ -276,10 +281,8 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         be = ShardedBackend(params, mesh, chest=None)
         with _capture_jit() as caps:
             be._rescale_fn(k)
-        ntt = _ntt_sds(params, k)
-        ntt1 = _ntt_sds(params, k - 1)
         lowered = caps[-1].lower(
-            ct_c, ntt, ntt1,
+            ct_c, _full_tables_sds(params), _idx_sds(k), _idx_sds(k - 1),
             jax.ShapeDtypeStruct((k - 1,), jnp.uint32),
             jax.ShapeDtypeStruct((k - 1,), jnp.uint32))
     elif prog.kind == "mod_raise2":
@@ -291,7 +294,7 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         full = params.num_limbs
         lowered = caps[-1].lower(
             jax.ShapeDtypeStruct((2, n1, n2), jnp.uint32),
-            _ntt_sds(params, 2), _ntt_sds(params, full),
+            _full_tables_sds(params), _idx_sds(2), _idx_sds(full),
             jax.ShapeDtypeStruct((full,), jnp.uint32),
             jax.ShapeDtypeStruct((full,), jnp.uint32))
     elif prog.kind == "mod_raise":
@@ -303,38 +306,26 @@ def lower_program(prog: Program, params: CKKSParams, mesh: Mesh):
         full = params.num_limbs
         lowered = caps[-1].lower(
             jax.ShapeDtypeStruct((1, n1, n2), jnp.uint32),
-            _ntt_sds(params, 1), _ntt_sds(params, full),
+            _full_tables_sds(params), _idx_sds(1), _idx_sds(full),
             jax.ShapeDtypeStruct((full, 1, 1), jnp.uint32))
     else:
         raise ValueError(prog.kind)
     return lowered, meta
 
 
-def _ntt_sds(params, k_or_idx):
-    from gpufhe_tpu.ops.context import make_context
+def _full_tables_sds(params):
+    """Shape-only stand-in for the ONE shared full-chain ShardedNTT set
+    every mesh program now receives (sharded.py full_ntt_tables)."""
     from gpufhe_tpu.parallel import sharded as sh
 
-    ctx = make_context(params)
-    idx = np.arange(k_or_idx) if isinstance(k_or_idx, int) else k_or_idx
-    return _sds(sh._ntt_tables_for(ctx, idx))
+    return _sds(sh.full_ntt_tables(params))
 
 
-def _qp_idx(params, k):
-    from gpufhe_tpu.primitives.keyswitch import qp_indices
-
-    return np.asarray(qp_indices(params, k))
+def _idx_sds(n: int):
+    return jax.ShapeDtypeStruct((n,), jnp.int32)
 
 
-def _mult_tables_sds(params, k):
-    return (_ntt_sds(params, k), _ntt_sds(params, _qp_idx(params, k)),
-            _ntt_sds(params, k - 1))
-
-
-def _galois_tables_sds(params, k):
-    return (_ntt_sds(params, k), _ntt_sds(params, _qp_idx(params, k)))
-
-
-def _fan_tables_sds(params, k):
+def _fan_resc_sds(params, k):
     from gpufhe_tpu.primitives.rns import make_ks_context
 
     words = params.scale_words
@@ -349,5 +340,4 @@ def _fan_tables_sds(params, k):
             _sds(ksc_w.qlast_inv_mont),
             jnp.uint32(int(params.q_primes[lvl - 1]) // 2),
         ))
-    return (_ntt_sds(params, k), _ntt_sds(params, _qp_idx(params, k)),
-            _ntt_sds(params, k - words), tuple(resc))
+    return tuple(resc)

@@ -67,22 +67,32 @@ assert (got == want).all(), "BFV N=2^16 chain decrypt mismatch"
 print(f"# eager compile+check {time.time() - t0:.1f}s")
 
 
+from gpufhe_tpu.ops.context import fourstep_split
+
+n1f, n2f = fourstep_split(params.n)
+_2d = lambda x: x.reshape(level, params.n)
+_3d = lambda x: x.reshape(level, n1f, n2f)
+
+
 @jax.jit
 def step_chain(a0, a1, b0, b1):
     # one compiled body, CHAIN genuinely data-dependent iterations: the BFV
     # mult is scale-invariant (output at the same level), so iteration i+1
     # multiplies iteration i's OUTPUT by iteration i's first operand —
-    # both operands vary, nothing can be DCE'd or hoisted
+    # both operands vary, nothing can be DCE'd or hoisted. The carry rides
+    # in the kernel-native [L, n1, n2] view (the 2D-carry per-iteration
+    # relayout artifact — NTT_N16.json siblings).
     def body(_, carry):
         c0, c1, d0, d1 = carry
-        # d2 stays in coefficient domain across the tensor->relin boundary
-        # (the cancelled NTT round trip, bfv.py ct_mul)
+        # all components cross the tensor->relin boundary in coefficient
+        # domain; relin adds in coeff and transforms each output once
+        # (bfv.py ct_mul — 4*level boundary transforms cancelled)
         d = dbfv._bfv_tensor_core(
-            (c0, c1), (d0, d1), ctx, aux_ctx, tabs, params, auxp, level,
-            d2_coeff=True,
+            (_2d(c0), _2d(c1)), (_2d(d0), _2d(d1)), ctx, aux_ctx, tabs,
+            params, auxp, level, out_mode="coeff",
         )
-        r0, r1 = dct._relin_core(d, ctx, ksc, rlk, params, level, True)
-        return (r0, r1, c0, c1)
+        r0, r1 = dbfv._bfv_relin_coeff(d, ctx, ksc, rlk, params, level)
+        return (_3d(r0), _3d(r1), c0, c1)
 
     return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))
 
@@ -98,17 +108,17 @@ def floor_chain(a0, a1, b0, b1):
 def timed(compiled, args):
     res = compiled(*args)
     jax.block_until_ready(res)
-    _ = np.asarray(res[0][0, :4])  # pay the read-sync slice compile here
+    _ = np.asarray(res[0][0, 0, :4])  # pay the read-sync slice compile here
     dts = []
     for _ in range(3):
         t0 = time.time()
         res = compiled(*res)
-        _ = np.asarray(res[0][0, :4])  # read-sync (block_until_ready lies)
+        _ = np.asarray(res[0][0, 0, :4])  # read-sync (block_until_ready lies)
         dts.append(time.time() - t0)
     return min(dts)
 
 
-a0, a1 = ct.c
+a0, a1 = (_3d(c) for c in ct.c)
 t0 = time.time()
 compiled = step_chain.lower(a0, a1, a0, a1).compile()
 floor_c = floor_chain.lower(a0, a1, a0, a1).compile()

@@ -62,6 +62,19 @@ def ntt_table_bytes_per_device(params, k, n_coeff):
     return b
 
 
+def shared_table_set_bytes_per_device(params, n_coeff):
+    """The ONE full-chain ShardedNTT set every program now shares
+    (sharded.py full_ntt_tables, VERDICT r4 item 7) + the per-program
+    i32 limb-index vectors (negligible). Counted with the tw planes
+    REPLICATED (worst case — GSPMD may keep them coeff-sharded)."""
+    t = params.num_limbs + len(params.p_primes)
+    n1, n2 = fourstep_split(params.n)
+    b = 2 * t * n1 * n2 * 4  # tw + twi_t, replicated worst case
+    b += 4 * t * 4 * n1 * n1 * 1  # digit planes (u8, replicated)
+    b += t * (4 + 4 + 28)
+    return b
+
+
 def main():
     t0 = time.time()
     params = preset(PRESET)
@@ -117,9 +130,19 @@ def main():
     # ---- per-device residency table ---------------------------------------
     key_bytes = sum(e.get("key_bytes_per_device", 0) for e in entries)
     pt_bytes = sum(e.get("pt_bytes_per_device", 0) for e in entries)
-    # NTT table sets per program: mult/fan hold 3 sets (q, qp, out), galois
-    # 2, rescale 2, mod_raise2 2 (2-limb + full)
-    tbl = 0
+    # round 5: every program shares ONE full-chain table set (sharded.py
+    # full_ntt_tables — the same device buffers back every cached program
+    # closure) + a transient per-call row-gather of its level selection.
+    # The old per-program private-set accounting is kept as a comparison
+    # field.
+    tbl = shared_table_set_bytes_per_device(params, n_coeff)
+    # transient: the largest in-program gathered selection (3 sets at qp/q
+    # widths for a mult/fan), counted into the table line
+    qp_w = full + alpha
+    tbl_transient = sum(ntt_table_bytes_per_device(params, s, n_coeff)
+                        for s in (full, qp_w, full - 1))
+    tbl += tbl_transient
+    tbl_private_old = 0
     for e in entries:
         k = e["level"]
         qp = k + alpha
@@ -127,8 +150,8 @@ def main():
                 "conj": (k, qp), "eph_ks": (k, qp), "rotation": (k, qp),
                 "rescale": (k, k - 1), "mod_raise2": (2, full),
                 "mod_raise": (1, full)}[e["kind"]]
-        tbl += sum(ntt_table_bytes_per_device(params, s, n_coeff)
-                   for s in sets)
+        tbl_private_old += sum(ntt_table_bytes_per_device(params, s, n_coeff)
+                               for s in sets)
     ct_bytes = 3 * 2 * full * params.n * 4 // n_coeff  # ~3 cts in flight
     # fan transient: all_gathered gadget stack + c0 + accumulators
     import math as _math
@@ -154,10 +177,17 @@ def main():
         "hbm_per_device_gib": 16.0,
         "fits": total < HBM_PER_DEV,
         "mesh": {"limb": n_limb, "coeff": n_coeff},
-        "note": ("ntt_table_sets counts every program's private sliced "
-                 "tables (ShardedNTT digit matrices are replicated); "
-                 "sharing one full-chain table set across programs is the "
-                 "first optimization if headroom is needed"),
+        "ntt_table_sets_private_old_gib": round(tbl_private_old / 2**30, 2),
+        "note": ("round 5: ntt_table_sets = ONE shared full-chain set "
+                 "(sharded.py full_ntt_tables — identical device buffers "
+                 "across every program closure, tw counted replicated "
+                 "worst-case) + the largest in-program gathered selection "
+                 "(3 transient q/qp-width sets). The pre-r5 per-program "
+                 "private-slice accounting is kept in "
+                 "ntt_table_sets_private_old_gib for comparison. Remaining "
+                 "headroom margin absorbs larger fan sets and multi-host "
+                 "growth: table residency no longer scales with the "
+                 "program count at all."),
     }
 
     result = {

@@ -71,11 +71,27 @@ def _tie(xs, y):
 
 def timed_chain(name, f, args, chain=None):
     chain = CHAIN if chain is None else chain
+    # poly args ride the carry in the kernel-native [L, n1, n2] view (the
+    # 2D-carry per-iteration relayout artifact — NTT_N16.json siblings)
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n = params.n
+    n1f, n2f = fourstep_split(n)
+
+    def to3(x):
+        return (x.reshape(x.shape[0], n1f, n2f)
+                if x.ndim == 2 and x.shape[-1] == n else x)
+
+    def to2(x):
+        return (x.reshape(x.shape[0], n)
+                if x.ndim == 3 and x.shape[-2:] == (n1f, n2f) else x)
+
+    args = tuple(to3(x) for x in args)
 
     @jax.jit
     def prog(*xs):
         def body(_, xs):
-            return _tie(xs, f(*xs))
+            return _tie(xs, f(*(to2(x) for x in xs)))
 
         return jax.lax.fori_loop(0, chain, body, tuple(xs))
 
@@ -261,13 +277,50 @@ results["conv_b2msk"] = timed_chain(
         tabs.b2msk_conv_plain, tabs.b2msk_conv_shoup, aux_ctx.q[-1:],
     ), (x_aux,), chain=C_LEAF)
 
-tensor_recon = (4 * results["to_aux_full"]
+# grouped leaves: the composite fuses the 4 input conversions (and the 3
+# output blocks) into ONE program — measuring them separately multiplies
+# the per-program boundary cost 4x/3x and overshoots the recon. Chain each
+# GROUP as one program with distinct inputs (no CSE) to match the fusion.
+from gpufhe_tpu.ops.modops import sub_mod as _subm
+
+
+def f_to_aux_x4(x, y):
+    a = add_mod(x, y, _q)
+    b = _subm(x, y, _q)
+    return tuple(f_to_aux(c) for c in (x, y, a, b))
+
+
+def f_outputs_x3(dq_ntt, daux_ntt):
+    outs = []
+    pairs = (
+        (dq_ntt, daux_ntt),
+        (add_mod(dq_ntt, dq_ntt, _q), add_mod(daux_ntt, daux_ntt, _aq)),
+        (_subm(dq_ntt, jnp.uint32(1) & dq_ntt, _q), daux_ntt),
+    )
+    for dqn, dxn in pairs:
+        dq = ntt_inv(dqn, ctx, limbs=q_idx)
+        daux = ntt_inv(dxn, aux_ctx, limbs=a_idx)
+        outs.append(ntt_fwd(f_round_mid(dq, daux), ctx, limbs=q_idx))
+    return tuple(outs)
+
+
+results["to_aux_x4"] = timed_chain("to_aux x4 (one program)", f_to_aux_x4,
+                                   (a0, a1), chain=C_LEAF // 4)
+results["outputs_x3"] = timed_chain("output blocks x3 (one program)",
+                                    f_outputs_x3, (a0, x_aux),
+                                    chain=C_LEAF // 4)
+
+tensor_recon = (results["to_aux_x4"]
                 + results["tensor_q_elem"] + results["tensor_aux_elem"]
-                + 3 * (results["intt_q"] + results["intt_aux"]
-                       + results["round_mid"] + results["ntt_q"]))
-print(f"# bfv_tensor {results['bfv_tensor']*1e3:.3f} ms; leaf recon "
+                + results["outputs_x3"])
+tensor_recon_flat = (4 * results["to_aux_full"]
+                     + results["tensor_q_elem"] + results["tensor_aux_elem"]
+                     + 3 * (results["intt_q"] + results["intt_aux"]
+                            + results["round_mid"] + results["ntt_q"]))
+print(f"# bfv_tensor {results['bfv_tensor']*1e3:.3f} ms; grouped-leaf recon "
       f"{tensor_recon*1e3:.3f} ms "
-      f"(residual {(results['bfv_tensor']-tensor_recon)*1e3:+.3f})",
+      f"(residual {(results['bfv_tensor']-tensor_recon)*1e3:+.3f}; flat "
+      f"per-leaf sum {tensor_recon_flat*1e3:.3f})",
       flush=True)
 
 
@@ -279,21 +332,24 @@ results["relin"] = timed_chain("relin (ckks ks)", f_relin, (a1,))
 
 
 def f_mul(x, y):
-    # the PRODUCTION path (bfv.py ct_mul): d2 crosses the tensor->relin
-    # boundary in coefficient domain, cancelling an NTT+iNTT pair
+    # the PRODUCTION path (bfv.py ct_mul): every component crosses the
+    # tensor->relin boundary in coefficient domain — d2's NTT+iNTT pair
+    # cancelled, relin adds in coeff, one output NTT per component
     d = dbfv._bfv_tensor_core((x, y), (y, x), ctx, aux_ctx, tabs, params,
-                              auxp, level, d2_coeff=True)
-    return dct._relin_core(d, ctx, ksc, rlk, params, level, True)
+                              auxp, level, out_mode="coeff")
+    return dbfv._bfv_relin_coeff(d, ctx, ksc, rlk, params, level)
 
 
 results["bfv_mul_full"] = timed_chain("bfv mult+relin", f_mul, (a0, a1))
 
 # the separately-measured tensor and relin leaves each still carry their
-# half of the cancelled d2 round trip — subtract it from the recon
+# halves of the four cancelled boundary transforms: d2's NTT (tensor) +
+# iNTT (relin open), and d0/d1's tensor-output NTTs (the fused path adds
+# in coeff and pays its 2 output NTTs either way — net 3 NTT + 1 iNTT)
 recon = (results["bfv_tensor"] + results["relin"]
-         - results["intt_q"] - results.get("ntt_q", results["intt_q"]))
+         - results["intt_q"] - 3 * results["ntt_q"])
 print(f"# bfv_mul_full {results['bfv_mul_full']*1e3:.3f} ms; tensor+relin "
-      f"- d2 roundtrip = {recon*1e3:.3f} ms "
+      f"- 4 boundary transforms = {recon*1e3:.3f} ms "
       f"(residual {(results['bfv_mul_full']-recon)*1e3:+.3f})", flush=True)
 out = {"stages_ms": {k: round(v * 1e3, 4) for k, v in results.items()},
        # stage-sum SoL for the BFV mult (tensor and relin each measured as
@@ -301,8 +357,10 @@ out = {"stages_ms": {k: round(v * 1e3, 4) for k, v in results.items()},
        # the vs_baseline denominator)
        "recon_ms": round(recon * 1e3, 4),
        "tensor_recon_ms": round(tensor_recon * 1e3, 4),
-       "tensor_recon": "4*to_aux_full + tensor_q_elem + tensor_aux_elem + "
-                       "3*(intt_q + intt_aux + round_mid + ntt_q)",
+       "tensor_recon": "to_aux_x4 + tensor_q_elem + tensor_aux_elem + "
+                       "outputs_x3 (grouped leaves — the composite fuses "
+                       "each group into one program)",
+       "tensor_recon_flat_ms": round(tensor_recon_flat * 1e3, 4),
        "chains": {"composite": CHAIN, "leaf": C_LEAF},
        "pipeline": "MXU digit conversions (ops/convert_pallas.py)"}
 print(json.dumps(out), flush=True)

@@ -109,13 +109,33 @@ def timed_chain(name, f, args, consts=(), chain=None):
     `consts` (e.g. the relin key) enter as jit ARGUMENTS — loop-invariant,
     outside the fori carry — never as closure constants: closed-over device
     arrays lower as HLO literals and the dw relin key (~300 MB) blows the
-    tunneled remote-compile request cap (HTTP 413)."""
+    tunneled remote-compile request cap (HTTP 413).
+
+    Round 5: poly-shaped args ([L, N]) ride the fori CARRY in the
+    kernel-native [L, n1, n2] view — a 2D carry forces a physical relayout
+    of every carried component per iteration, +1.06 us/limb-transform of
+    pure harness artifact (scripts/ntt_prefetch_probe.py; NTT_N16.json
+    siblings). The 2D<->3D reshapes around f cancel against the NTT
+    wrapper's own (zero-copy views of the same natural-order data)."""
     chain = CHAIN if chain is None else chain
+    from gpufhe_tpu.ops.context import fourstep_split
+
+    n1f, n2f = fourstep_split(n)
+
+    def to3(x):
+        return (x.reshape(x.shape[0], n1f, n2f)
+                if x.ndim == 2 and x.shape[-1] == n else x)
+
+    def to2(x):
+        return (x.reshape(x.shape[0], n)
+                if x.ndim == 3 and x.shape[-2:] == (n1f, n2f) else x)
+
+    args = tuple(to3(x) for x in args)
 
     @jax.jit
     def prog(xs, cs):
         def body(_, xs):
-            return _tie(xs, f(*xs, *cs))
+            return _tie(xs, f(*(to2(x) for x in xs), *cs))
 
         return jax.lax.fori_loop(0, chain, body, tuple(xs))
 
