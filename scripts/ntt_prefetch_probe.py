@@ -101,7 +101,12 @@ def v3_wrapper(v):
 
 
 # static: the v2 kernel body with approx recombine on PRE-SLICED tables
-# (sliced ONCE outside the loop: loop-invariant jit consts)
+# (sliced ONCE outside the loop: loop-invariant jit consts). NOTE: this
+# variant measured 5.93 us on one run and 52 us on a later run of the same
+# binary — the table slices are jit-argument device buffers and XLA
+# sometimes re-slices per iteration inside the loop; treat `static` as
+# indicative only (v3_direct/v3_wrapper are the stable comparisons, and
+# the ablation's pre-gathered kernel is the stable static-map baseline)
 tabs_sliced = (t.wl_cat[:k], t.tw[:k], t.tw_shoup[:k], t.wr_cat[:k],
                t.corr_l[:k], t.corr_r[:k], ctx.q[:k], ctx.digit_plain[:k],
                ctx.digit_shoup[:k])
