@@ -453,6 +453,23 @@ def main():
             "source": "NTT_N16_config5_boot_s29.json (scripts/ntt_bench.py)",
         }), flush=True)
 
+    # sub-2^29 lazy-recombine mult composite (the fastest qualifying
+    # configuration; measured by profile_mult_stages' xor-tie chain)
+    s29m = (pathlib.Path(__file__).resolve().parent
+            / "PROFILE_MULT_config5_boot_s29.json")
+    if s29m.exists():
+        b = json.loads(s29m.read_text())
+        print(json.dumps({
+            "metric": f"ckks_mult_relin_rescale_N{b['n']}_L{b['level']}"
+                      "_s29_lazy",
+            "value": round(1e3 / b["stages_ms"]["mul_full"], 3),
+            "unit": "ops/s/chip",
+            "ms_per_mult": b["stages_ms"]["mul_full"],
+            "recon_ms": b["recon_ms"],
+            "source": "PROFILE_MULT_config5_boot_s29.json "
+                      "(scripts/profile_mult_stages.py)",
+        }), flush=True)
+
     # production-scale mesh numeric execution (VERDICT r4 item 1)
     mex = pathlib.Path(__file__).resolve().parent / "N16_MESH_EXEC.json"
     if mex.exists():

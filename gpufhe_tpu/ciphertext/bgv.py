@@ -177,8 +177,57 @@ def ct_modswitch(ct: BGVCiphertext, params, ctx) -> BGVCiphertext:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(5,))
+def _bgv_mul_full_core(ca, cb, ctx, ksc, rlk, params):
+    """Tensor + relinearize + t-corrected ModSwitch as ONE program (the
+    BGV mirror of ct.py _mul_full_core): the key-switch pair stays in
+    COEFFICIENT domain (eval_out=False), d0/d1 are iNTT'd and added there,
+    ModSwitch runs in coeff, and each output component is NTT'd ONCE —
+    cancelling the relin-output NTT + ModSwitch iNTT round trip (2*level
+    limb-transforms per mult), limb-bit-exact by modular linearity
+    (tests/test_bgv.py)."""
+    from gpufhe_tpu.ops.modops import add_mod, mont_mul
+    from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+    from gpufhe_tpu.primitives.keyswitch import fence_enabled, key_switch_core
+
+    level = ca[0].shape[0]
+    q = ctx.q[:level][:, None]
+    qinv = ctx.qinv_neg[:level][:, None]
+    r2 = ctx.r2[:level][:, None]
+    a0, a1 = ca
+    b0, b1 = cb
+    b0m = mont_mul(b0, r2, q, qinv)
+    b1m = mont_mul(b1, r2, q, qinv)
+    d0 = mont_mul(a0, b0m, q, qinv)
+    d1 = add_mod(mont_mul(a0, b1m, q, qinv), mont_mul(a1, b0m, q, qinv), q)
+    d2 = mont_mul(a1, b1m, q, qinv)
+    if fence_enabled(params.dnum):
+        d0, d1, d2 = jax.lax.optimization_barrier((d0, d1, d2))
+    ks0, ks1 = key_switch_core(d2, params, level, ctx, ksc, rlk,
+                               eval_out=False)
+    q_idx = list(range(level))
+    out = []
+    for d, ks in ((d0, ks0), (d1, ks1)):
+        cc = add_mod(ntt_inv(d, ctx, limbs=q_idx), ks, q)
+        down = bgv_modswitch(cc, params, level, ctx, ksc)
+        out.append(ntt_fwd(down, ctx, limbs=q_idx[:-1]))
+    return tuple(out)
+
+
 def ct_mul(a, b, params, ctx, rlk) -> BGVCiphertext:
-    return ct_modswitch(ct_relinearize(ct_tensor(a, b, params, ctx), params, ctx, rlk), params, ctx)
+    """Fused BGV multiply: one jitted program, the relin->ModSwitch NTT
+    round trip cancelled (see _bgv_mul_full_core). Output at level-1 with
+    the t-corrected pt_factor tracking of ct_modswitch."""
+    assert a.level == b.level and len(a.c) == 2 and len(b.c) == 2
+    ksc = make_ks_context(params, a.level)
+    out = _bgv_mul_full_core(
+        tuple(a.c), tuple(b.c), ctx, ksc, rlk, params)
+    t = int(params.plain_modulus)
+    # tensor multiplies the factors; ModSwitch scales the message by q_last
+    # (exactly ct_modswitch's bookkeeping — decrypt folds pt_factor out)
+    pt_factor = (a.pt_factor * b.pt_factor % t
+                 ) * (int(params.q_primes[a.level - 1]) % t) % t
+    return BGVCiphertext(list(out), a.level - 1, pt_factor)
 
 
 def ct_rotate(ct: BGVCiphertext, steps: int, params, ctx, gk: DeviceKSKey):

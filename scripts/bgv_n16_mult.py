@@ -75,26 +75,30 @@ print(f"# eager compile+check {time.time() - t0:.1f}s")
 
 q_idx = list(range(level))
 
+from gpufhe_tpu.ops.context import fourstep_split
+
+n1f, n2f = fourstep_split(params.n)
+_2d = lambda x: x.reshape(x.shape[0], params.n)
+_3d = lambda x: x.reshape(x.shape[0], n1f, n2f)
+
 
 @jax.jit
 def step_chain(a0, a1, b0, b1):
     # one compiled body, CHAIN genuinely data-dependent iterations: each
-    # iteration runs the FULL production mult (tensor + hybrid-KS relin +
-    # t-corrected ModSwitch) at the static top level; the ModSwitch output
-    # (level-1 limbs) is padded back with the carried operand's last row so
-    # the carry is shape-stable, and iteration i+1 multiplies iteration i's
-    # OUTPUT by iteration i's first operand — nothing is loop-invariant
+    # iteration runs the FULL production fused mult (bgv.py
+    # _bgv_mul_full_core — tensor + hybrid-KS relin with the coeff-domain
+    # add + t-corrected ModSwitch in coeff + ONE NTT per output) at the
+    # static top level; the output (level-1 limbs) is padded back with the
+    # carried operand's last row so the carry is shape-stable, and
+    # iteration i+1 multiplies iteration i's OUTPUT by iteration i's first
+    # operand — nothing is loop-invariant. Carry rides the kernel-native
+    # [L, n1, n2] view (docs/MEASUREMENT.md 2b).
     def body(_, carry):
         c0, c1, d0, d1 = carry
-        d3 = dct._tensor_core((c0, c1), (d0, d1), ctx, level)
-        r0, r1 = dct._relin_core(d3, ctx, ksc, rlk, params, level)
-        outs = []
-        for comp in (r0, r1):
-            coeff = ntt_inv(comp, ctx, limbs=q_idx)
-            down = bgv_modswitch(coeff, params, level, ctx, ksc)
-            outs.append(ntt_fwd(down, ctx, limbs=q_idx[:-1]))
-        n0 = jnp.concatenate([outs[0], c0[level - 1:]])
-        n1 = jnp.concatenate([outs[1], c1[level - 1:]])
+        r0, r1 = dbgv._bgv_mul_full_core(
+            (_2d(c0), _2d(c1)), (_2d(d0), _2d(d1)), ctx, ksc, rlk, params)
+        n0 = jnp.concatenate([_3d(r0), c0[level - 1:]])
+        n1 = jnp.concatenate([_3d(r1), c1[level - 1:]])
         return (n0, n1, c0, c1)
 
     return jax.lax.fori_loop(0, CHAIN, body, (a0, a1, b0, b1))
@@ -111,17 +115,17 @@ def floor_chain(a0, a1, b0, b1):
 def timed(compiled, args):
     res = compiled(*args)
     jax.block_until_ready(res)
-    _ = np.asarray(res[0][0, :4])  # pay the read-sync slice compile here
+    _ = np.asarray(res[0][0, 0, :4])  # pay the read-sync slice compile here
     dts = []
     for _ in range(3):
         t0 = time.time()
         res = compiled(*res)
-        _ = np.asarray(res[0][0, :4])  # read-sync (block_until_ready lies)
+        _ = np.asarray(res[0][0, 0, :4])  # read-sync (block_until_ready lies)
         dts.append(time.time() - t0)
     return min(dts)
 
 
-a0, a1 = ct.c
+a0, a1 = (_3d(c) for c in ct.c)
 t0 = time.time()
 compiled = step_chain.lower(a0, a1, a0, a1).compile()
 floor_c = floor_chain.lower(a0, a1, a0, a1).compile()
