@@ -4,7 +4,7 @@ The flagship configuration: composite scale (28-bit limb pairs) restores the
 precision the single-word path cannot reach at this ring size; factored-FFT
 transforms (radix-2^3), Chebyshev EvalMod (no noise-amplifying ladder).
 """
-import json, pathlib, sys, time
+import json, os, pathlib, sys, time
 import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -120,6 +120,21 @@ def main():
     steady = min(times)
     print(f"# steady iterations (read-synced): {[round(t,2) for t in times]}",
           flush=True)
+
+    if os.environ.get("BOOT_TRACE") == "1":
+        # device-timeline attribution of ONE steady call (round 5: the
+        # profiler DOES capture /device:TPU:0 op timelines through the
+        # axon tunnel — scripts/trace_summary.py parses the result): the
+        # honest replacement for the sync-poisoned per-phase numbers
+        import jax.profiler as _prof
+
+        trace_dir = os.environ.get("BOOT_TRACE_DIR", "/tmp/boot_trace")
+        with _prof.trace(trace_dir):
+            out = bs(ct)
+            _ = np.asarray(out.c[0][0, :4])
+        print(f"# device trace written to {trace_dir} "
+              f"(parse: python scripts/trace_summary.py {trace_dir})",
+              flush=True)
     # per-phase breakdown. NOTE: each boundary read-sync serializes the
     # pipeline and pays tunnel latency, so these RELATIVE weights are the
     # signal — their sum (~2.3 s) far exceeds the fused steady number.
