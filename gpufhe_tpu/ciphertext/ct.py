@@ -31,7 +31,7 @@ import numpy as np
 from gpufhe_tpu.golden import ckks as gckks
 from gpufhe_tpu.keys.keys import DeviceKSKey, DevicePublicKey, DeviceSecretKey
 from gpufhe_tpu.ops.context import Context
-from gpufhe_tpu.ops.modops import add_mod, mont_mul, mul_mod, sub_mod
+from gpufhe_tpu.ops.modops import add_mod, mont_mac, mont_mul, mul_mod, sub_mod
 from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
 from gpufhe_tpu.params.params import CKKSParams
 from gpufhe_tpu.primitives.keyswitch import key_switch_core
@@ -318,12 +318,22 @@ def _plain_mac_core(cs_list, pts, const_ntt, ctx, kscs, params):
 
     level = cs_list[0][0].shape[0]
     q, qinv = _qb(ctx, level)
-    acc0 = acc1 = None
-    for (c0, c1), pt in zip(cs_list, pts):
-        t0 = mont_mul(c0, pt, q, qinv)
-        t1 = mont_mul(c1, pt, q, qinv)
-        acc0 = t0 if acc0 is None else add_mod(acc0, t0, q)
-        acc1 = t1 if acc1 is None else add_mod(acc1, t1, q)
+    from gpufhe_tpu.primitives.keyswitch import _packed_mac
+
+    if _packed_mac():
+        # paired-REDC lazy MAC — [0, 2q) accumulators; the iNTT of the
+        # rescale chain below canonicalizes (ops/modops.py mont_mac)
+        acc0 = mont_mac([(c0, pt) for (c0, _c1), pt in zip(cs_list, pts)],
+                        q, qinv)
+        acc1 = mont_mac([(c1, pt) for (_c0, c1), pt in zip(cs_list, pts)],
+                        q, qinv)
+    else:
+        acc0 = acc1 = None
+        for (c0, c1), pt in zip(cs_list, pts):
+            t0 = mont_mul(c0, pt, q, qinv)
+            t1 = mont_mul(c1, pt, q, qinv)
+            acc0 = t0 if acc0 is None else add_mod(acc0, t0, q)
+            acc1 = t1 if acc1 is None else add_mod(acc1, t1, q)
     # joint fence before the Pallas iNTTs (shared-producer elementwise MAC;
     # primitives/keyswitch.py fence note)
     from gpufhe_tpu.primitives.keyswitch import fence_enabled
@@ -510,15 +520,26 @@ def _hoisted_galois_core(raised, c0, perm, ctx, ksc, gk, params, level):
     qp_qinv = ctx.qinv_neg[qp_idx][:, None]
     q = ctx.q[:level][:, None]
 
-    from gpufhe_tpu.primitives.keyswitch import key_rows
+    from gpufhe_tpu.primitives.keyswitch import _packed_mac, key_rows
 
-    acc0 = acc1 = None
-    for d, r in enumerate(raised):
-        rg = jnp.take(r, perm, axis=1)
-        t0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
-        t1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
-        acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
-        acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
+    if _packed_mac():
+        # paired-REDC lazy MAC — [0, 2q) accumulators; the iNTT below
+        # canonicalizes (ops/modops.py mont_mac)
+        rgs = [jnp.take(r, perm, axis=1) for r in raised]
+        acc0 = mont_mac(
+            [(rg, key_rows(gk.b_mont[d], params, level))
+             for d, rg in enumerate(rgs)], qp_q, qp_qinv)
+        acc1 = mont_mac(
+            [(rg, key_rows(gk.a_mont[d], params, level))
+             for d, rg in enumerate(rgs)], qp_q, qp_qinv)
+    else:
+        acc0 = acc1 = None
+        for d, r in enumerate(raised):
+            rg = jnp.take(r, perm, axis=1)
+            t0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
+            t1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
+            acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
+            acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
 
     # joint fence before the Pallas iNTTs (shared-producer MAC fusion;
     # primitives/keyswitch.py fence note)
@@ -608,17 +629,34 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
     acc0 = [None] * nsets
     acc1 = [None] * nsets
     c0_acc = [None] * nsets
+    from gpufhe_tpu.primitives.keyswitch import _packed_mac
+
+    packed = _packed_mac()
     r_count = perm_stack.shape[0]
     for j in range(r_count):
         perm = perm_stack[j]
         gk = gk_list[j]
-        t0 = t1 = None
-        for d, r in enumerate(raised_ntt):
-            rg = jnp.take(r, perm, axis=1)
-            u0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
-            u1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
-            t0 = u0 if t0 is None else add_mod(t0, u0, qp_q)
-            t1 = u1 if t1 is None else add_mod(t1, u1, qp_q)
+        if packed:
+            # paired-REDC lazy MAC (ops/modops.py mont_mac): t0/t1 land in
+            # [0, 2q) and feed the pt mont_mul below, which accepts any
+            # u32 — the final transforms canonicalize, so the fan's output
+            # limbs are bit-identical to the eager chain (round-5 device
+            # trace: these MAC fusions are 58% of the flagship bootstrap)
+            rgs = [jnp.take(r, perm, axis=1) for r in raised_ntt]
+            t0 = mont_mac(
+                [(rg, key_rows(gk.b_mont[d], params, level))
+                 for d, rg in enumerate(rgs)], qp_q, qp_qinv)
+            t1 = mont_mac(
+                [(rg, key_rows(gk.a_mont[d], params, level))
+                 for d, rg in enumerate(rgs)], qp_q, qp_qinv)
+        else:
+            t0 = t1 = None
+            for d, r in enumerate(raised_ntt):
+                rg = jnp.take(r, perm, axis=1)
+                u0 = mont_mul(rg, key_rows(gk.b_mont[d], params, level), qp_q, qp_qinv)
+                u1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
+                t0 = u0 if t0 is None else add_mod(t0, u0, qp_q)
+                t1 = u1 if t1 is None else add_mod(t1, u1, qp_q)
         c0g = jnp.take(c0, perm, axis=1)
         for s in range(nsets):
             pt = pt_stacks[s][j]

@@ -82,6 +82,55 @@ def mont_mul(a, b, q, qinv_neg):
     return jnp.where(t >= q, t - q, t)
 
 
+def mont_mac(pairs, q, qinv_neg):
+    """Montgomery multiply-accumulate: sum_i a_i * b_i * 2^-32 mod q,
+    CANONICAL result in [0, q) — the key-switch / diagonal-fan inner
+    product (round 5, device-trace finding: these MAC fusions, not the
+    NTTs, dominate the bootstrap's fan programs).
+
+    Pairs of 64-bit products are accumulated BEFORE reduction (lo with
+    explicit carry, hi exact since each mulhi < q), then ONE REDC serves
+    the pair — 1 REDC per 2 terms instead of per term, and intermediates
+    stay LAZY in [0, 2q) with a single conditional subtract per pair/add
+    ([0,4q) sums never wrap for q < 2^30, the framework's word-size
+    discipline). Each intermediate is congruent to the canonical chain's;
+    the final canonicalization makes the RESULT bit-identical to the
+    per-term mont_mul + add_mod composition, so callers and tests see the
+    exact same values. (The output is canonical rather than lazy because
+    the jnp NTT path's carry digit recoding is only total for inputs
+    < ~2^31 with no top-byte carry — ops/ntt.py _to_digits; the 2 extra
+    ops are noise next to the ~20% the pairing saves.)
+
+    Requirements: every a_i in [0, 2^32), every b_i in [0, q), q < 2^30.
+    """
+    two_q = q + q
+
+    def redc(hi, lo):
+        m = lo * qinv_neg
+        return hi + mulhi32(m, q) + (lo != 0).astype(jnp.uint32)
+
+    groups = []
+    for i in range(0, len(pairs), 2):
+        a1, b1 = pairs[i]
+        lo1 = a1 * b1
+        hi1 = mulhi32(a1, b1)
+        if i + 1 < len(pairs):
+            a2, b2 = pairs[i + 1]
+            lo2 = a2 * b2
+            lo = lo1 + lo2
+            hi = hi1 + mulhi32(a2, b2) + (lo < lo1).astype(jnp.uint32)
+            t = redc(hi, lo)  # [0, 3q + 2): hi < 2q + 1, + q + 1
+            t = jnp.where(t >= two_q, t - two_q, t)  # [0, 2q)
+        else:
+            t = redc(hi1, lo1)  # [0, 2q)
+        groups.append(t)
+    s = groups[0]
+    for t in groups[1:]:
+        u = s + t  # [0, 4q): no u32 wrap for q < 2^30
+        s = jnp.where(u >= two_q, u - two_q, u)
+    return jnp.where(s >= q, s - q, s)  # canonical [0, q)
+
+
 def shoup_mul(a, w, w_shoup, q):
     """a * w mod q in [0, 2q) for ANY uint32 a and canonical w < q (Shoup).
 

@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpufhe_tpu.keys.keys import DeviceKSKey
 from gpufhe_tpu.ops.context import Context, fourstep_split, make_context
-from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mul, mul_mod, sub_mod
+from gpufhe_tpu.ops.modops import add_mod, barrett_reduce_u32, mont_mac, mont_mul, mul_mod, sub_mod
 from gpufhe_tpu.ops.ntt import _digit_dot_left, _digit_dot_right, _recombine, _to_digits
 from gpufhe_tpu.params.params import CKKSParams
 from gpufhe_tpu.primitives.keyswitch import qp_indices
@@ -354,19 +354,18 @@ def _keyswitch_body(
     conv = ks.conv[0]
     key_b, key_a = ks.key_b[0], ks.key_a[0]
 
-    acc0 = acc1 = None
+    rs = []
     for g in range(gmax):
         x_src = jnp.take(d2_coeff, src_idx[g], axis=0)  # [S, n1/C, n2]
         v = mont_mul(x_src, qhatinv[g], src_q[g], src_qinv[g])
-        raised = None
-        for i in range(v.shape[0]):  # S = alpha, tiny: unrolled
-            term = mont_mul(v[i][None], conv[g, :, i][:, None, None], kq, kqinv)
-            raised = term if raised is None else add_mod(raised, term, kq)
-        r = ntt_fwd_body(raised, t_qp)
-        t0 = mont_mul(r, key_b[g], kq, kqinv)
-        t1 = mont_mul(r, key_a[g], kq, kqinv)
-        acc0 = t0 if acc0 is None else add_mod(acc0, t0, kq)
-        acc1 = t1 if acc1 is None else add_mod(acc1, t1, kq)
+        # paired-REDC MAC for the base-conversion inner product (modops
+        # mont_mac — canonical result, bit-identical to the eager chain)
+        raised = mont_mac(
+            [(v[i][None], conv[g, :, i][:, None, None])
+             for i in range(v.shape[0])], kq, kqinv)
+        rs.append(ntt_fwd_body(raised, t_qp))
+    acc0 = mont_mac([(r, key_b[g]) for g, r in enumerate(rs)], kq, kqinv)
+    acc1 = mont_mac([(r, key_a[g]) for g, r in enumerate(rs)], kq, kqinv)
 
     # exact modular reduction of the inner product across the limb axis
     acc0 = _modular_allreduce(acc0, kq, "limb")
@@ -739,13 +738,13 @@ def make_sharded_fan(
         for j in range(n_offsets):
             lin = lins[j].reshape(-1)
             kb, ka = key_stacks[j]
-            t0 = t1 = None
-            for g in range(gmax):
-                rg = jnp.take(fr_flat[g], lin, axis=1).reshape(qp_rows, b_rows, n2)
-                u0 = mont_mul(rg, kb[0][g], kq, kqinv)
-                u1 = mont_mul(rg, ka[0][g], kq, kqinv)
-                t0 = u0 if t0 is None else add_mod(t0, u0, kq)
-                t1 = u1 if t1 is None else add_mod(t1, u1, kq)
+            # paired-REDC MAC (modops mont_mac): canonical, bit-identical
+            rgs = [jnp.take(fr_flat[g], lin, axis=1)
+                   .reshape(qp_rows, b_rows, n2) for g in range(gmax)]
+            t0 = mont_mac([(rg, kb[0][g]) for g, rg in enumerate(rgs)],
+                          kq, kqinv)
+            t1 = mont_mac([(rg, ka[0][g]) for g, rg in enumerate(rgs)],
+                          kq, kqinv)
             c0g = jnp.take(fc0_flat, lin, axis=1).reshape(k, b_rows, n2)
             for s in range(nsets):
                 pt = pt_stacks[s][j]  # [QP, B, n2]
@@ -927,13 +926,13 @@ def make_sharded_hoisted_fan(
         for j in range(n_offsets):
             lin = lins[j].reshape(-1)
             kb, ka = key_stacks[j]
-            t0 = t1 = None
-            for g in range(gmax):
-                rg = jnp.take(fr_flat[g], lin, axis=1).reshape(qp_rows, b_rows, n2)
-                u0 = mont_mul(rg, kb[0][g], kq, kqinv)
-                u1 = mont_mul(rg, ka[0][g], kq, kqinv)
-                t0 = u0 if t0 is None else add_mod(t0, u0, kq)
-                t1 = u1 if t1 is None else add_mod(t1, u1, kq)
+            # paired-REDC MAC (modops mont_mac): canonical, bit-identical
+            rgs = [jnp.take(fr_flat[g], lin, axis=1)
+                   .reshape(qp_rows, b_rows, n2) for g in range(gmax)]
+            t0 = mont_mac([(rg, kb[0][g]) for g, rg in enumerate(rgs)],
+                          kq, kqinv)
+            t1 = mont_mac([(rg, ka[0][g]) for g, rg in enumerate(rgs)],
+                          kq, kqinv)
             a0 = _modular_allreduce(t0, kq, "limb")
             a1 = _modular_allreduce(t1, kq, "limb")
             down = []

@@ -23,7 +23,16 @@ import numpy as np
 
 from gpufhe_tpu.keys.keys import DeviceKSKey
 from gpufhe_tpu.ops.context import Context
-from gpufhe_tpu.ops.modops import add_mod, mont_mul
+from gpufhe_tpu.ops.modops import add_mod, mont_mac, mont_mul
+
+
+def _packed_mac() -> bool:
+    """Paired-REDC lazy MAC accumulation (ops/modops.py mont_mac) for the
+    key-switch / fan inner products. GPUFHE_MAC=eager restores the
+    per-term mont_mul + add_mod chain for A/B."""
+    import os
+
+    return os.environ.get("GPUFHE_MAC", "packed") != "eager"
 from gpufhe_tpu.ops.ntt import ntt_fwd, ntt_inv
 from gpufhe_tpu.primitives.rns import KSContext, mod_down, mod_up
 from gpufhe_tpu.params.params import CKKSParams
@@ -142,10 +151,15 @@ def key_switch_core(
     id_skip = (os.environ.get("GPUFHE_MODUP_IDSKIP", "0") == "1"
                and eval_in)  # the skip reuses the EVAL-domain d2
     groups = ks_groups(params, level)
+    packed_mac = _packed_mac()
     acc0 = acc1 = None
+    r_ntt = []  # packed path: collect, one mont_mac per key component
     for d, r_coeff in enumerate(raised):
         if not id_skip:
             r = ntt_fwd(r_coeff, ctx, limbs=qp_idx)
+            if packed_mac:
+                r_ntt.append(r)
+                continue
             t0 = mont_mul(r, key_rows(ksk.b_mont[d], params, level), qp_q, qp_qinv)
             t1 = mont_mul(r, key_rows(ksk.a_mont[d], params, level), qp_q, qp_qinv)
             acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
@@ -180,6 +194,19 @@ def key_switch_core(
         t1 = _seg_mac(ka)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp_q)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp_q)
+
+    if packed_mac and not id_skip:
+        # paired-REDC lazy MAC (ops/modops.py mont_mac): ~1 REDC per 2
+        # gadget terms, accumulators stay in [0, 2q) — congruent, and the
+        # iNTT below canonicalizes, so ciphertext limbs are bit-identical
+        # to the eager chain (round-5 device trace: the MAC fusions, not
+        # the NTTs, dominate the bootstrap's fan/key-switch programs)
+        acc0 = mont_mac(
+            [(r, key_rows(ksk.b_mont[d], params, level))
+             for d, r in enumerate(r_ntt)], qp_q, qp_qinv)
+        acc1 = mont_mac(
+            [(r, key_rows(ksk.a_mont[d], params, level))
+             for d, r in enumerate(r_ntt)], qp_q, qp_qinv)
 
     # fence the MAC accumulators JOINTLY before the Pallas iNTTs: XLA's
     # cross-boundary optimization between the elementwise MAC fusion and

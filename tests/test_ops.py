@@ -31,6 +31,30 @@ def test_mulhi32_exact():
     assert (got.astype(np.uint64) == want).all()
 
 
+def test_mont_mac_matches_eager_chain():
+    """mont_mac (paired-REDC MAC, round 5) == the per-term mont_mul +
+    add_mod chain, element-exact, for any u32 a operands and canonical b
+    operands, odd and even term counts, q near 2^30."""
+    from gpufhe_tpu.golden.arithmetic import mont_constants
+    from gpufhe_tpu.ops.modops import mont_mac
+
+    for q in ((1 << 30) - 35, (1 << 28) + 625, 786433):
+        qinv_neg, _ = mont_constants(q)
+        qj = jnp.uint32(q)
+        qi = jnp.uint32(qinv_neg)
+        for terms in (1, 2, 3, 5, 6):
+            a = [_u32(RNG.integers(0, 1 << 32, size=2048, dtype=np.uint64))
+                 for _ in range(terms)]
+            b = [_u32(RNG.integers(0, q, size=2048, dtype=np.int64))
+                 for _ in range(terms)]
+            want = None
+            for ai, bi in zip(a, b):
+                t = modops.mont_mul(ai, bi, qj, qi)
+                want = t if want is None else modops.add_mod(want, t, qj)
+            got = mont_mac(list(zip(a, b)), qj, qi)
+            assert (np.asarray(got) == np.asarray(want)).all(), (q, terms)
+
+
 def test_shoup_approx_range_and_congruence():
     """_shoup_approx (ops/ntt_pallas.py): for ANY uint32 a and q just under
     2^30, the result is congruent to a*w mod q and lies in [0, 4q) — the
