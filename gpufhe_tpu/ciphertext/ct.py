@@ -633,23 +633,39 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
 
     packed = _packed_mac()
     r_count = perm_stack.shape[0]
-    for j in range(r_count):
-        perm = perm_stack[j]
-        gk = gk_list[j]
-        if packed:
-            # paired-REDC lazy MAC (ops/modops.py mont_mac): t0/t1 land in
-            # [0, 2q) and feed the pt mont_mul below, which accepts any
-            # u32 — the final transforms canonicalize, so the fan's output
-            # limbs are bit-identical to the eager chain (round-5 device
-            # trace: these MAC fusions are 58% of the flagship bootstrap)
+    if packed:
+        # Paired-REDC lazy MACs at BOTH fan levels (ops/modops.py mont_mac).
+        # Round-5 device trace: the fan programs' elementwise MAC fusions
+        # (compare_select 152 ms + fusion 78 ms of a 477 ms bootstrap)
+        # dominate, and the OFFSET accumulation (R terms x 3 accumulators
+        # x nsets) is the bigger loop — pairing it halves its REDC count
+        # and drops the per-term conditional subtracts. Same (a, b) pairs
+        # as the eager chain, so the canonical result limbs are
+        # bit-identical (mont_mac contract).
+        t0s, t1s, c0gs = [], [], []
+        for j in range(r_count):
+            perm = perm_stack[j]
+            gk = gk_list[j]
             rgs = [jnp.take(r, perm, axis=1) for r in raised_ntt]
-            t0 = mont_mac(
+            t0s.append(mont_mac(
                 [(rg, key_rows(gk.b_mont[d], params, level))
-                 for d, rg in enumerate(rgs)], qp_q, qp_qinv)
-            t1 = mont_mac(
+                 for d, rg in enumerate(rgs)], qp_q, qp_qinv))
+            t1s.append(mont_mac(
                 [(rg, key_rows(gk.a_mont[d], params, level))
-                 for d, rg in enumerate(rgs)], qp_q, qp_qinv)
-        else:
+                 for d, rg in enumerate(rgs)], qp_q, qp_qinv))
+            c0gs.append(jnp.take(c0, perm, axis=1))
+        for s in range(nsets):
+            pts = [pt_stacks[s][j] for j in range(r_count)]
+            acc0[s] = mont_mac(
+                [(t0s[j], pts[j]) for j in range(r_count)], qp_q, qp_qinv)
+            acc1[s] = mont_mac(
+                [(t1s[j], pts[j]) for j in range(r_count)], qp_q, qp_qinv)
+            c0_acc[s] = mont_mac(
+                [(c0gs[j], pts[j][:level]) for j in range(r_count)], q, qinv)
+    else:
+        for j in range(r_count):
+            perm = perm_stack[j]
+            gk = gk_list[j]
             t0 = t1 = None
             for d, r in enumerate(raised_ntt):
                 rg = jnp.take(r, perm, axis=1)
@@ -657,15 +673,15 @@ def _diag_fan_core(cs, perm_stack, gk_list, pt_stacks, pt0s, ctx, kscs, params, 
                 u1 = mont_mul(rg, key_rows(gk.a_mont[d], params, level), qp_q, qp_qinv)
                 t0 = u0 if t0 is None else add_mod(t0, u0, qp_q)
                 t1 = u1 if t1 is None else add_mod(t1, u1, qp_q)
-        c0g = jnp.take(c0, perm, axis=1)
-        for s in range(nsets):
-            pt = pt_stacks[s][j]
-            v0 = mont_mul(t0, pt, qp_q, qp_qinv)
-            v1 = mont_mul(t1, pt, qp_q, qp_qinv)
-            acc0[s] = v0 if acc0[s] is None else add_mod(acc0[s], v0, qp_q)
-            acc1[s] = v1 if acc1[s] is None else add_mod(acc1[s], v1, qp_q)
-            w0 = mont_mul(c0g, pt[:level], q, qinv)
-            c0_acc[s] = w0 if c0_acc[s] is None else add_mod(c0_acc[s], w0, q)
+            c0g = jnp.take(c0, perm, axis=1)
+            for s in range(nsets):
+                pt = pt_stacks[s][j]
+                v0 = mont_mul(t0, pt, qp_q, qp_qinv)
+                v1 = mont_mul(t1, pt, qp_q, qp_qinv)
+                acc0[s] = v0 if acc0[s] is None else add_mod(acc0[s], v0, qp_q)
+                acc1[s] = v1 if acc1[s] is None else add_mod(acc1[s], v1, qp_q)
+                w0 = mont_mul(c0g, pt[:level], q, qinv)
+                c0_acc[s] = w0 if c0_acc[s] is None else add_mod(c0_acc[s], w0, q)
 
     # joint fence over ALL sets' accumulators (shared-producer MAC fusion;
     # primitives/keyswitch.py fence note)

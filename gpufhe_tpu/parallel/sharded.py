@@ -731,29 +731,31 @@ def make_sharded_fan(
         fr_flat = full_r.reshape(gmax, qp_rows, n1 * n2)
         fc0_flat = full_c0.reshape(k, n1 * n2)
 
-        acc0 = [None] * nsets
-        acc1 = [None] * nsets
-        c0acc = [None] * nsets
         b_rows = c1.shape[1]
+        # paired-REDC MACs at BOTH fan levels (modops mont_mac): the digit
+        # inner product per offset, then the offset accumulation itself —
+        # canonical results, bit-identical to the eager chain (ct.py
+        # _diag_fan_core mirror)
+        t0s, t1s, c0gs = [], [], []
         for j in range(n_offsets):
             lin = lins[j].reshape(-1)
             kb, ka = key_stacks[j]
-            # paired-REDC MAC (modops mont_mac): canonical, bit-identical
             rgs = [jnp.take(fr_flat[g], lin, axis=1)
                    .reshape(qp_rows, b_rows, n2) for g in range(gmax)]
-            t0 = mont_mac([(rg, kb[0][g]) for g, rg in enumerate(rgs)],
-                          kq, kqinv)
-            t1 = mont_mac([(rg, ka[0][g]) for g, rg in enumerate(rgs)],
-                          kq, kqinv)
-            c0g = jnp.take(fc0_flat, lin, axis=1).reshape(k, b_rows, n2)
-            for s in range(nsets):
-                pt = pt_stacks[s][j]  # [QP, B, n2]
-                v0 = mont_mul(t0, pt, kq, kqinv)
-                v1 = mont_mul(t1, pt, kq, kqinv)
-                acc0[s] = v0 if acc0[s] is None else add_mod(acc0[s], v0, kq)
-                acc1[s] = v1 if acc1[s] is None else add_mod(acc1[s], v1, kq)
-                w0 = mont_mul(c0g, pt[:k], q, qinv)
-                c0acc[s] = w0 if c0acc[s] is None else add_mod(c0acc[s], w0, q)
+            t0s.append(mont_mac([(rg, kb[0][g]) for g, rg in enumerate(rgs)],
+                                kq, kqinv))
+            t1s.append(mont_mac([(rg, ka[0][g]) for g, rg in enumerate(rgs)],
+                                kq, kqinv))
+            c0gs.append(jnp.take(fc0_flat, lin, axis=1).reshape(k, b_rows, n2))
+        acc0, acc1, c0acc = [], [], []
+        for s in range(nsets):
+            pts = [pt_stacks[s][j] for j in range(n_offsets)]  # [QP, B, n2]
+            acc0.append(mont_mac(
+                [(t0s[j], pts[j]) for j in range(n_offsets)], kq, kqinv))
+            acc1.append(mont_mac(
+                [(t1s[j], pts[j]) for j in range(n_offsets)], kq, kqinv))
+            c0acc.append(mont_mac(
+                [(c0gs[j], pts[j][:k]) for j in range(n_offsets)], q, qinv))
 
         outs = []
         for s in range(nsets):

@@ -82,6 +82,30 @@ def summarize(trace_dir: str) -> dict:
         prog_agg[base(e["name"])] += e.get("dur", 0.0)
     top_progs = [{"program": k, "total_ms": round(v / 1e3, 3)}
                  for k, v in prog_agg.most_common(12)]
+
+    # attribute each op span to the program span containing it — the
+    # per-program op mix is the actionable view (round 5: it localized the
+    # flagship's fan MAC fusions at 192 ms vs 24 ms of NTT inside
+    # jit__diag_fan_core, which motivated the fan-wide paired-REDC MAC)
+    import bisect
+
+    sprogs = sorted(progs, key=lambda e: e["ts"])
+    starts = [p["ts"] for p in sprogs]
+    per = collections.defaultdict(collections.Counter)
+    for e in ops:
+        i = bisect.bisect_right(starts, e["ts"]) - 1
+        if i >= 0 and e["ts"] < sprogs[i]["ts"] + sprogs[i].get("dur", 0.0):
+            per[base(sprogs[i]["name"])][base(e["name"])] += e.get("dur", 0.0)
+        else:
+            per["<outside>"][base(e["name"])] += e.get("dur", 0.0)
+    per_program_ops = [
+        {
+            "program": pname,
+            "total_ms": round(sum(c.values()) / 1e3, 2),
+            "ops_ms": {op: round(v / 1e3, 2) for op, v in c.most_common(6)},
+        }
+        for pname, c in sorted(per.items(), key=lambda kv: -sum(kv[1].values()))
+    ]
     return {
         "metric": "device_trace_summary",
         "trace": path,
@@ -92,6 +116,7 @@ def summarize(trace_dir: str) -> dict:
         "dispatches": len(progs),
         "top_ops_self_ms": top,
         "top_programs_ms": top_programs_note(top_progs),
+        "per_program_ops": per_program_ops,
     }
 
 
